@@ -1,0 +1,473 @@
+"""Large-scale MCMC chain with random-field block proposals (TPU hot path).
+
+TPU-native redesign of the reference ``chain_crf``
+(reference: gstatsMCMC/MCMC.py:1083-1443, and the torch port MCMC_gpu.py:233-582).
+
+Design (vs. the reference's per-iteration Python loop):
+
+- The whole Metropolis-Hastings loop is a single ``lax.scan`` over a pure
+  ``step(consts, state)`` function — no host round-trip per iteration (the
+  torch port syncs host<->device twice per iteration, MCMC_gpu.py:369,449).
+- Block proposals come from one statically-shaped (B, B) FFT
+  (models/randfield.py); the discrete size menu is handled by masks.
+- The block center is drawn uniformly over precomputed region cells
+  (categorical), the same distribution as the reference's rejection loop
+  (MCMC.py:1253-1258) without data-dependent control flow.
+- Residual + loss updates are **block-local**: a fixed (S, S) window
+  (S = B + 4) is gathered with ``dynamic_slice``, the residual is evaluated
+  with numpy-gradient semantics on the window, and only block cells are
+  patched into the global residual — exactly the reference's incremental
+  scheme (MCMC.py:1292-1315), including its deliberate choice to leave the
+  one-cell ring outside the block stale.  Per-iteration cost is O(B^2)
+  instead of the reference's O(H*W) full-grid masking + loss reduction.
+- The window placement invariant (every patched cell is interior to the
+  window or lies on a true domain edge coinciding with the window edge)
+  makes the windowed gradient bitwise-equal to the global one; it requires
+  S >= max_block + 4 and is asserted at build time.
+- The loss is accumulated by Kahan-compensated summation of block deltas;
+  the MH decision uses the freshly computed delta, so accept/reject is
+  unaffected by accumulation drift, and segment boundaries re-baseline the
+  reported loss.
+
+Multi-chain execution = ``vmap`` over the state (see parallel/sampler.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import min_dist_from_mask
+from ..ops.logistic import crf_weight_from_dist
+from ..ops.physics import (
+    mass_conservation_residual,
+    masked_gaussian_loss,
+    masked_sq_sum,
+)
+from ..utils.config import BlockMenuConfig, LossConfig, RandFieldConfig, WeightConfig
+from ..utils.rng import as_key
+from .randfield import RandFieldArrays, RandFieldStatic, build_randfield, draw_block
+
+
+@dataclasses.dataclass(frozen=True)
+class CRFStatic:
+    """Hashable static configuration baked into the compiled step."""
+
+    H: int
+    W: int
+    S: int          # local window size (<= min(H, W), >= max block + 4 if possible)
+    n_region: int   # number of candidate block-center cells
+    P: int          # number of probe points
+    rf: RandFieldStatic
+
+
+@dataclasses.dataclass
+class CRFConsts:
+    """Per-problem array constants (one copy, shared across chains)."""
+
+    surf: jnp.ndarray
+    velx: jnp.ndarray
+    vely: jnp.ndarray
+    dhdt: jnp.ndarray
+    smb: jnp.ndarray
+    update_mask: jnp.ndarray   # f32: region_mask or grounded mask
+    mc_mask: jnp.ndarray       # bool: where the loss is evaluated
+    crf_weight: jnp.ndarray    # f32: logistic data weight (ones for 'RF')
+    region_cells: jnp.ndarray  # (n_region, 2) int32 candidate centers
+    sample_ij: jnp.ndarray     # (P, 2) int32 probe cells
+    sigma_mc: jnp.ndarray      # scalar
+    resolution: jnp.ndarray    # scalar
+    rf: RandFieldArrays
+
+
+@dataclasses.dataclass
+class ChainState:
+    """Per-chain mutable state (the scan carry; batched by vmap)."""
+
+    bed: jnp.ndarray        # (H, W)
+    mc_res: jnp.ndarray     # (H, W) patched residual (reference semantics)
+    loss_mc: jnp.ndarray    # scalar
+    loss_comp: jnp.ndarray  # Kahan compensation
+    key: jnp.ndarray
+    resampled: jnp.ndarray  # (H, W)
+    accepted: jnp.ndarray   # int32
+
+
+import jax.tree_util as _tu
+
+for _cls, _n in ((CRFConsts, 13), (ChainState, 7)):
+    _fields = [f.name for f in dataclasses.fields(_cls)]
+    _tu.register_pytree_node(
+        _cls,
+        (lambda fields: (lambda c: (tuple(getattr(c, f) for f in fields), None)))(_fields),
+        (lambda cls2, fields: (lambda aux, ch: cls2(**dict(zip(fields, ch)))))(_cls, _fields),
+    )
+
+
+@jax.jit
+def init_state(bed, key, consts: CRFConsts) -> ChainState:
+    """Fresh chain state: full-grid residual + loss (reference MCMC.py:1184-1195)."""
+    bed = jnp.asarray(bed, jnp.float32)
+    mc_res = mass_conservation_residual(
+        bed, consts.surf, consts.velx, consts.vely, consts.dhdt, consts.smb,
+        consts.resolution,
+    )
+    loss_mc = masked_gaussian_loss(mc_res, consts.mc_mask, consts.sigma_mc)
+    return ChainState(
+        bed=bed,
+        mc_res=mc_res,
+        loss_mc=jnp.float32(loss_mc),
+        loss_comp=jnp.float32(0.0),
+        key=key,
+        resampled=jnp.zeros(bed.shape, jnp.float32),
+        accepted=jnp.int32(0),
+    )
+
+
+def make_kernel(static: CRFStatic):
+    """Build the MH update core: (consts, state, f, h, w, cx, cy, u, key) ->
+    (state, trace).  Separated from the random draws so tests can inject a
+    proposal and compare bitwise against a NumPy re-derivation of the
+    reference update (tests/reference_impl.py)."""
+    H, W, S, B = static.H, static.W, static.S, static.rf.B
+
+    def mh_update(consts: CRFConsts, state: ChainState, f, h, w, cx, cy, u, key):
+        # --- block placement (reference MCMC.py:1253-1276) -------------------
+        bxmin = jnp.maximum(0, (2 * cx - h) // 2)
+        bxmax = jnp.minimum(H, (2 * cx + h) // 2)
+        bymin = jnp.maximum(0, (2 * cy - w) // 2)
+        bymax = jnp.minimum(W, (2 * cy + w) // 2)
+        off_x = (2 * cx - h) // 2  # global row g maps to field row g - off_x
+        off_y = (2 * cy - w) // 2
+
+        # --- fixed-size local window ----------------------------------------
+        sx = jnp.clip(bxmin - 1, 0, H - S)
+        sy = jnp.clip(bymin - 1, 0, W - S)
+        rows = sx + jnp.arange(S)
+        cols = sy + jnp.arange(S)
+        in_rows = (rows >= bxmin) & (rows < bxmax)
+        in_cols = (cols >= bymin) & (cols < bymax)
+        in_block = in_rows[:, None] & in_cols[None, :]
+
+        def win(a):
+            return jax.lax.dynamic_slice(a, (sx, sy), (S, S))
+
+        bed_w = win(state.bed)
+        surf_w = win(consts.surf)
+        upd_w = win(consts.update_mask)
+        mc_w = win(consts.mc_mask)
+        res_old_w = win(state.mc_res)
+        crfw_w = win(consts.crf_weight)
+
+        # --- perturbation (reference MCMC.py:1279-1290) ----------------------
+        fr = jnp.clip(rows - off_x, 0, B - 1)
+        fc = jnp.clip(cols - off_y, 0, B - 1)
+        pert = f[fr[:, None], fc[None, :]] * crfw_w
+        pert = jnp.where(in_block & (upd_w > 0), pert, 0.0)
+        bed_new_w = bed_w + pert
+
+        # --- local residual with numpy-gradient semantics --------------------
+        res_new_w = mass_conservation_residual(
+            bed_new_w, surf_w, win(consts.velx), win(consts.vely),
+            win(consts.dhdt), win(consts.smb), consts.resolution,
+        )
+
+        # --- loss delta over patched (block) cells only ----------------------
+        patch = in_block & mc_w
+        denom = 2.0 * jnp.square(consts.sigma_mc)
+        delta = (masked_sq_sum(res_new_w, patch) - masked_sq_sum(res_old_w, patch)) / denom
+        loss_next = state.loss_mc + delta
+
+        # --- thickness guard (reference MCMC.py:1320-1329) -------------------
+        viol = jnp.any(((surf_w - bed_new_w) <= 0.0) & in_block & (upd_w > 0))
+        loss_next = jnp.where(viol, jnp.inf, loss_next)
+
+        # --- MH accept (reference MCMC.py:1331-1337) -------------------------
+        log_ratio = state.loss_mc - loss_next  # -delta (or -inf)
+        rate = jnp.minimum(1.0, jnp.exp(log_ratio))
+        accept = u <= rate
+
+        # --- state update (window write-back) --------------------------------
+        res_patched_w = jnp.where(in_block, res_new_w, res_old_w)
+
+        def upd(a, new_w):
+            return jax.lax.dynamic_update_slice(a, new_w, (sx, sy))
+
+        bed_out = jnp.where(accept, upd(state.bed, bed_new_w), state.bed)
+        res_out = jnp.where(accept, upd(state.mc_res, res_patched_w), state.mc_res)
+        resampled_w = win(state.resampled) + jnp.where(in_block, upd_w, 0.0)
+        resampled_out = jnp.where(accept, upd(state.resampled, resampled_w), state.resampled)
+
+        # Kahan-compensated loss accumulation (delta only applied on accept)
+        y = jnp.where(accept & ~viol, delta, 0.0) - state.loss_comp
+        t = state.loss_mc + y
+        comp = (t - state.loss_mc) - y
+        loss_out = t
+
+        new_state = ChainState(
+            bed=bed_out,
+            mc_res=res_out,
+            loss_mc=loss_out,
+            loss_comp=comp,
+            key=key,
+            resampled=resampled_out,
+            accepted=state.accepted + accept.astype(jnp.int32),
+        )
+
+        samples = bed_out[consts.sample_ij[:, 0], consts.sample_ij[:, 1]]
+        trace = {
+            "loss_mc": loss_out,
+            "loss_data": jnp.float32(0.0),
+            "loss": loss_out,
+            "step": accept,
+            "block": jnp.stack([cx, cy, h, w]).astype(jnp.float32),
+            "samples": samples,
+        }
+        return new_state, trace
+
+    return mh_update
+
+
+def make_step(static: CRFStatic):
+    """Build the full MH step (random draws + update): (consts, state) ->
+    (state, trace)."""
+    mh_update = make_kernel(static)
+
+    def step(consts: CRFConsts, state: ChainState):
+        key, k_block, k_center, k_u = jax.random.split(state.key, 4)
+        f, size_idx, w, h = draw_block(k_block, static.rf, consts.rf)
+        cidx = jax.random.randint(k_center, (), 0, static.n_region)
+        cx = consts.region_cells[cidx, 0]
+        cy = consts.region_cells[cidx, 1]
+        u = jax.random.uniform(k_u, ())
+        return mh_update(consts, state, f, h, w, cx, cy, u, key)
+
+    return step
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def run_chain(static: CRFStatic, consts: CRFConsts, state: ChainState,
+              n_iter: int, save_beds: bool = False):
+    """Scan ``n_iter - 1`` MH steps (iteration 0 records the initial state,
+    as in the reference loop ``for i in range(1, n_iter)``, MCMC.py:1247).
+
+    Returns (final_state, traces) where each trace array has leading dim
+    ``n_iter`` and index 0 holds the initial values.
+    """
+    step = make_step(static)
+
+    def body(st, _):
+        st, tr = step(consts, st)
+        if save_beds:
+            tr = dict(tr, bed=st.bed)
+        return st, tr
+
+    final, traces = jax.lax.scan(body, state, None, length=n_iter - 1)
+
+    init_row = {
+        "loss_mc": state.loss_mc,
+        "loss_data": jnp.float32(0.0),
+        "loss": state.loss_mc,
+        "step": jnp.asarray(False),
+        "block": jnp.full((4,), jnp.nan, jnp.float32),
+        "samples": state.bed[consts.sample_ij[:, 0], consts.sample_ij[:, 1]],
+    }
+    if save_beds:
+        init_row["bed"] = state.bed
+    traces = jax.tree.map(
+        lambda head, tail: jnp.concatenate([head[None], tail], axis=0),
+        init_row, traces,
+    )
+    return final, traces
+
+
+class ChainCRF:
+    """Host-side builder with the reference's imperative API surface.
+
+    Mirrors ``chain_crf`` setters (set_update_region / set_loss_type /
+    set_update_type / set_crf_data_weight / set_random_generator /
+    set_sample_points_locations) so reference users find the same workflow,
+    then compiles to the functional core via ``build()`` / ``run()``.
+    """
+
+    def __init__(self, xx, yy, initial_bed, surf, velx, vely, dhdt, smb,
+                 cond_bed, data_mask, grounded_ice_mask, resolution):
+        shapes = {np.shape(a) for a in
+                  (initial_bed, surf, velx, vely, dhdt, smb, cond_bed, data_mask)}
+        if len(shapes) != 1:
+            raise ValueError(
+                "the shape of bed, surf, velx, vely, dhdt, smb, radar_bed, "
+                "data_mask need to be same")
+        self.xx = np.asarray(xx)
+        self.yy = np.asarray(yy)
+        self.initial_bed = np.asarray(initial_bed, np.float32)
+        self.surf = np.asarray(surf, np.float32)
+        self.velx = np.asarray(velx, np.float32)
+        self.vely = np.asarray(vely, np.float32)
+        self.dhdt = np.asarray(dhdt, np.float32)
+        self.smb = np.asarray(smb, np.float32)
+        self.cond_bed = np.asarray(cond_bed, np.float32)
+        self.data_mask = np.asarray(data_mask)
+        self.grounded_ice_mask = np.asarray(grounded_ice_mask)
+        self.resolution = float(resolution)
+        self.update_in_region = False
+        self.region_mask = np.ones(self.xx.shape, np.float32)
+        self.mc_region_mask = np.ones(self.xx.shape, np.float32)
+        self.block_type = "RF"
+        self.crf_data_weight = None
+        self.sample_loc = None
+        self.sigma_mc = None
+        self._key = None
+        self._rf_cfg = None
+        self._block_cfg = None
+        self._weight_cfg = None
+
+    # --- reference-parity setters ------------------------------------------
+
+    def set_update_region(self, update_in_region, region_mask=None):
+        self.update_in_region = bool(update_in_region)
+        if not update_in_region:
+            self.region_mask = np.ones(self.xx.shape, np.float32)
+        else:
+            region_mask = np.asarray(region_mask)
+            if region_mask.shape != self.xx.shape:
+                raise ValueError(
+                    "the region_mask input is invalid. It has to be a 2D numpy "
+                    "array with the shape of the map")
+            self.region_mask = region_mask.astype(np.float32)
+
+    def set_loss_type(self, sigma_mc=-1, massConvInRegion=True):
+        cfg = LossConfig(sigma_mc=sigma_mc, mass_conv_in_region=massConvInRegion)
+        self.sigma_mc = cfg.sigma_mc
+        self.mc_region_mask = (self.region_mask if massConvInRegion
+                               else np.ones(self.xx.shape, np.float32))
+
+    def set_update_type(self, block_type):
+        if block_type not in ("CRF_weight", "RF", "CRF_rbf"):
+            raise ValueError(
+                "The block_type argument should be one of the following: "
+                "CRF_weight, CRF_rbf, RF")
+        if block_type == "CRF_rbf":
+            raise NotImplementedError(
+                "CRF_rbf is unimplemented in the reference as well (MCMC.py:1111)")
+        self.block_type = block_type
+
+    def set_crf_data_weight(self, weight=None, weight_cfg: Optional[WeightConfig] = None):
+        """Compute (or set) the logistic conditioning weight.
+
+        With no precomputed ``weight``, computes it from the data mask via an
+        exact Euclidean distance transform (replacing the reference's KDTree,
+        MCMC.py:689-714).
+        """
+        if weight is not None:
+            self.crf_data_weight = np.asarray(weight, np.float32)
+            return
+        wc = weight_cfg or self._weight_cfg
+        if wc is None:
+            raise ValueError("call configure_randfield first or pass weight_cfg")
+        dist = min_dist_from_mask(self.xx, self.yy, self.data_mask == 1)
+        # host-side numpy (setup path): keep eager device dispatch off the
+        # build; same formula as ops.logistic.crf_weight_from_dist
+        dr = np.where(dist > wc.max_dist, 1.0, dist / wc.max_dist)
+        dl = wc.L / (1.0 + np.exp(-wc.k * (dr - wc.x0))) - wc.offset
+        self.crf_data_weight = (dl - dl.min()).astype(np.float32)
+
+    def set_random_generator(self, rng_seed=None):
+        self._key = as_key(rng_seed)
+
+    def set_sample_points_locations(self, loc):
+        self.sample_loc = None if loc is None else np.asarray(loc)
+
+    def configure_randfield(self, rf_cfg: RandFieldConfig, block_cfg: BlockMenuConfig,
+                            weight_cfg: WeightConfig):
+        self._rf_cfg = rf_cfg
+        self._block_cfg = block_cfg
+        self._weight_cfg = weight_cfg
+
+    # --- compilation --------------------------------------------------------
+
+    def _sample_ij(self):
+        if self.sample_loc is None:
+            return np.zeros((0, 2), np.int32)
+        ij = np.zeros((self.sample_loc.shape[0], 2), np.int32)
+        for k in range(self.sample_loc.shape[0]):
+            # nearest-cell lookup (the reference requires exact float equality
+            # and int16 indices, MCMC.py:1177-1180 — fixed here)
+            ij[k, 0] = int(np.argmin(np.abs(self.yy[:, 0] - self.sample_loc[k, 1])))
+            ij[k, 1] = int(np.argmin(np.abs(self.xx[0, :] - self.sample_loc[k, 0])))
+        return ij
+
+    def build(self):
+        if self.sigma_mc is None:
+            raise ValueError("call set_loss_type before building the chain")
+        if self._rf_cfg is None:
+            raise ValueError("call configure_randfield before building the chain")
+        rf_static, rf_arrays = build_randfield(self._rf_cfg, self._block_cfg,
+                                               self._weight_cfg)
+        H, W = self.xx.shape
+        S = int(min(H, W, rf_static.B + 4))
+        if S < rf_static.B + 4 and (H > rf_static.B + 4 or W > rf_static.B + 4):
+            raise ValueError("grid too small for the configured block sizes")
+
+        update_mask = (self.region_mask if self.update_in_region
+                       else self.grounded_ice_mask.astype(np.float32))
+        region = np.argwhere(self.region_mask == 1) if self.update_in_region else \
+            np.argwhere(np.ones(self.xx.shape, bool))
+        if region.shape[0] == 0:
+            raise ValueError("region_mask selects no cells")
+
+        if self.block_type == "CRF_weight":
+            if self.crf_data_weight is None:
+                self.set_crf_data_weight()
+            crf_weight = self.crf_data_weight
+        else:
+            crf_weight = np.ones(self.xx.shape, np.float32)
+
+        sample_ij = self._sample_ij()
+        static = CRFStatic(H=H, W=W, S=S, n_region=int(region.shape[0]),
+                           P=int(sample_ij.shape[0]), rf=rf_static)
+        consts = CRFConsts(
+            surf=jnp.asarray(self.surf),
+            velx=jnp.asarray(self.velx),
+            vely=jnp.asarray(self.vely),
+            dhdt=jnp.asarray(self.dhdt),
+            smb=jnp.asarray(self.smb),
+            update_mask=jnp.asarray(update_mask, jnp.float32),
+            mc_mask=jnp.asarray(self.mc_region_mask == 1),
+            crf_weight=jnp.asarray(crf_weight, jnp.float32),
+            region_cells=jnp.asarray(region, jnp.int32),
+            sample_ij=jnp.asarray(sample_ij, jnp.int32),
+            sigma_mc=jnp.float32(self.sigma_mc),
+            resolution=jnp.float32(self.resolution),
+            rf=rf_arrays,
+        )
+        return static, consts
+
+    def run(self, n_iter, only_save_last_bed=True, save_beds=None, seed=None):
+        """Single-chain convenience run (the multi-chain farm lives in
+        parallel/sampler.py). Returns a dict mirroring the reference's
+        return tuple names (MCMC.py:1147-1155)."""
+        static, consts = self.build()
+        key = as_key(seed) if seed is not None else (self._key or as_key(None))
+        state = init_state(self.initial_bed, key, consts)
+        if save_beds is None:
+            save_beds = not only_save_last_bed
+        final, traces = run_chain(static, consts, state, int(n_iter), bool(save_beds))
+        out = {
+            "bed": np.asarray(traces["bed"]) if save_beds else np.asarray(final.bed),
+            "loss_mc": np.asarray(traces["loss_mc"]),
+            "loss_data": np.asarray(traces["loss_data"]),
+            "loss": np.asarray(traces["loss"]),
+            "steps": np.asarray(traces["step"]),
+            "resampled_times": np.asarray(final.resampled),
+            "blocks": np.asarray(traces["block"]),
+            "final_state": final,
+        }
+        if static.P:
+            out["sample_values"] = np.asarray(traces["samples"]).T  # (P, n_iter)
+        return out

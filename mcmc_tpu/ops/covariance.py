@@ -1,0 +1,153 @@
+"""Covariance models for kriging and conditional simulation.
+
+TPU-native port of the normalized-distance covariance family used by the
+reference kriging kernels (reference: gstatsMCMC/gstatsim_custom/covariance.py:4-29).
+The exponential / gaussian / spherical models are closed-form and evaluated
+directly on device.  The matérn model needs the modified Bessel function
+``K_s`` which XLA does not provide, so it is tabulated once on the host with
+SciPy and evaluated on device with ``jnp.interp`` — exact to interpolation
+error on a 4096-point grid, and batched/vmappable.
+
+Behavioral notes carried over from the reference (verified by tests against a
+NumPy re-derivation):
+
+- ``spherical``: for normalized distance > 1 the reference returns
+  ``sill - 1`` (not ``sill - nugget``); we reproduce this exactly.
+- ``matern``: the reference applies a fitted scale factor
+  ``0.45246434*exp(-0.70449189*s) + 1.7863836``, clamps zero distances to
+  1e-8, and maps NaNs (the h→0 limit) to ``sill - nugget``.  The table bakes
+  all of this in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+_MATERN_TABLE_POINTS = 4096
+_MATERN_TABLE_HMAX = 8.0
+
+
+def make_matern_table(
+    s: float,
+    n_points: int = _MATERN_TABLE_POINTS,
+    h_max: float = _MATERN_TABLE_HMAX,
+) -> np.ndarray:
+    """Tabulate the normalized matérn covariance c(h) for unit (sill-nugget).
+
+    Matches the reference formula (covariance.py:17-22):
+        scale = 0.45246434*exp(-0.70449189*s) + 1.7863836
+        c(h)  = 2/Γ(s) * (scale*h*√s)^s * K_s(2*scale*h*√s),  c(0) = 1
+
+    Returns a float32 array of shape (n_points,) sampled on
+    ``h = linspace(0, h_max, n_points)``.
+    """
+    from scipy.special import gamma, kv
+
+    h = np.linspace(0.0, h_max, n_points)
+    hc = np.where(h == 0.0, 1e-8, h)
+    scale = 0.45246434 * np.exp(-0.70449189 * s) + 1.7863836
+    with np.errstate(invalid="ignore", over="ignore"):
+        c = 2.0 / gamma(s) * np.power(scale * hc * np.sqrt(s), s) * kv(s, 2.0 * scale * hc * np.sqrt(s))
+    c = np.where(np.isnan(c), 1.0, c)  # h→0 limit is (sill-nugget)·1
+    return c.astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class CovarianceSpec:
+    """Static description of a covariance model.
+
+    ``vtype`` is one of 'exponential', 'gaussian', 'spherical', 'matern'
+    (case-insensitive; mirrors the `covmodels` registry of the reference).
+    For matérn, ``matern_table`` holds the host-precomputed normalized table.
+    """
+
+    vtype: str
+    s: float | None = None
+    matern_table: np.ndarray | None = dataclasses.field(default=None, compare=False)
+
+    def __post_init__(self):
+        vt = self.vtype.lower()
+        if vt not in ("exponential", "gaussian", "spherical", "matern"):
+            raise ValueError(f"unknown covariance model {self.vtype!r}")
+        object.__setattr__(self, "vtype", vt)
+        if vt == "matern":
+            if self.s is None:
+                raise ValueError("matern covariance requires the smoothness parameter s")
+            if self.matern_table is None:
+                object.__setattr__(self, "matern_table", make_matern_table(self.s))
+
+
+def covariance_norm(spec: CovarianceSpec, norm_range, sill, nugget):
+    """Covariance at normalized distance(s). ``spec`` is static under jit."""
+    h = jnp.asarray(norm_range)
+    amp = sill - nugget
+    if spec.vtype == "exponential":
+        return amp * jnp.exp(-3.0 * h)
+    if spec.vtype == "gaussian":
+        return amp * jnp.exp(-3.0 * jnp.square(h))
+    if spec.vtype == "spherical":
+        c = amp - 1.5 * h + 0.5 * h**3
+        # reference quirk: beyond the range the value is sill - 1, not sill - nugget
+        return jnp.where(h > 1.0, sill - 1.0, c)
+    # matern via table lookup
+    table = jnp.asarray(spec.matern_table)
+    xs = jnp.clip(h / _MATERN_TABLE_HMAX, 0.0, 1.0) * (table.shape[0] - 1)
+    lo = jnp.floor(xs).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, table.shape[0] - 1)
+    frac = xs - lo
+    c01 = table[lo] * (1.0 - frac) + table[hi] * frac
+    c01 = jnp.where(h >= _MATERN_TABLE_HMAX, 0.0, c01)
+    return amp * c01
+
+
+def make_rotation_matrix(azimuth, major_range, minor_range):
+    """2x2 anisotropy matrix: rotate by azimuth then scale axes by 1/range.
+
+    Port of _krige.make_rotation_matrix (reference _krige.py:83-103).
+    """
+    theta = (azimuth / 180.0) * jnp.pi
+    rot = jnp.array(
+        [[jnp.cos(theta), -jnp.sin(theta)], [jnp.sin(theta), jnp.cos(theta)]]
+    )
+    scale = jnp.array([[1.0 / major_range, 0.0], [0.0, 1.0 / minor_range]])
+    return rot @ scale
+
+
+def make_sigma(spec: CovarianceSpec, coords, rotation_matrix, sill, nugget):
+    """Covariance matrix between data points (reference _krige.py:105-122).
+
+    coords: (n, 2). Returns (n, n).
+    """
+    t = coords @ rotation_matrix
+    d2 = jnp.sum(jnp.square(t[:, None, :] - t[None, :, :]), axis=-1)
+    norm_range = jnp.sqrt(d2)
+    return covariance_norm(spec, norm_range, sill, nugget)
+
+
+def make_rho(spec: CovarianceSpec, coords, target_xy, rotation_matrix, sill, nugget):
+    """Covariance vector between data points and a target cell
+    (reference _krige.py:124-144). coords: (n, 2), target_xy: (2,). Returns (n,).
+    """
+    t1 = coords @ rotation_matrix
+    t2 = jnp.asarray(target_xy) @ rotation_matrix
+    norm_range = jnp.sqrt(jnp.sum(jnp.square(t1 - t2[None, :]), axis=-1))
+    return covariance_norm(spec, norm_range, sill, nugget)
+
+
+def cross_sigma(spec: CovarianceSpec, coords_a, coords_b, rotation_matrix, sill, nugget):
+    """Cross-covariance matrix between two point sets: (na, nb)."""
+    ta = coords_a @ rotation_matrix
+    tb = coords_b @ rotation_matrix
+    d2 = jnp.sum(jnp.square(ta[:, None, :] - tb[None, :, :]), axis=-1)
+    return covariance_norm(spec, jnp.sqrt(d2), sill, nugget)
+
+
+# convenient partials mirroring the reference's `covmodels` registry
+covmodels = {
+    name: partial(covariance_norm, CovarianceSpec(name))
+    for name in ("exponential", "gaussian", "spherical")
+}
