@@ -1,1 +1,3 @@
-"""(placeholder — populated in later milestones)"""
+from .checkpoint import CheckpointManager, run_with_checkpointing
+
+__all__ = ["CheckpointManager", "run_with_checkpointing"]

@@ -1,0 +1,200 @@
+"""Checkpoint / resume for chain farms.
+
+TPU-native equivalent of the reference's most developed subsystem
+(reference: largeScaleChain_multiprocessing.py:100-240): per-run artifacts
+``bed_{N}k.npy`` + ``results_{N}k.npz`` + ``current_iter.txt`` + two
+RNG-state JSON files become ONE atomic ``checkpoint_{N}.npz`` holding the
+full batched chain state — beds, patched residuals, Kahan loss accumulators,
+resample counters, and the PRNG keys (the key IS the RNG state, so resumed
+chains continue the exact random stream, matching the reference's
+``bit_generator.state`` round-trip at :177-204).
+
+Write protocol mirrors the reference: new files are written (atomically via
+tmp + rename) before superseded ones are deleted (:233-236).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from ..models.chain_crf import ChainState
+
+_CKPT_RE = re.compile(r"checkpoint_(\d+)\.npz$")
+
+
+def _state_to_arrays(states: ChainState) -> dict:
+    d = {f.name: np.asarray(getattr(states, f.name))
+         for f in dataclasses.fields(ChainState) if f.name != "key"}
+    d["key_data"] = np.asarray(jax.random.key_data(states.key))
+    return d
+
+
+def _arrays_to_state(d: dict) -> ChainState:
+    import jax.numpy as jnp
+
+    key = jax.random.wrap_key_data(jnp.asarray(d["key_data"]))
+    kwargs = {k: jnp.asarray(v) for k, v in d.items() if k != "key_data"}
+    return ChainState(key=key, **kwargs)
+
+
+class CheckpointManager:
+    """Single-directory checkpoint store with resume.
+
+    Histories (per-iteration traces accumulated across segments, the
+    reference's results npz concatenation at :206-231) are stored alongside
+    the state under ``hist_`` prefixes.
+    """
+
+    def __init__(self, directory, keep: int = 1):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.keep = int(keep)
+
+    # -- discovery ----------------------------------------------------------
+
+    def _checkpoints(self):
+        out = []
+        for p in self.dir.iterdir():
+            m = _CKPT_RE.search(p.name)
+            if m:
+                out.append((int(m.group(1)), p))
+        return sorted(out)
+
+    def latest_iter(self) -> Optional[int]:
+        cps = self._checkpoints()
+        return cps[-1][0] if cps else None
+
+    # -- save / load --------------------------------------------------------
+
+    def save(self, cumulative_iter: int, states: ChainState,
+             histories: Optional[dict] = None, meta: Optional[dict] = None):
+        arrays = _state_to_arrays(states)
+        payload = {f"state_{k}": v for k, v in arrays.items()}
+        if histories:
+            for k, v in histories.items():
+                payload[f"hist_{k}"] = np.asarray(v)
+        payload["meta_json"] = np.frombuffer(
+            json.dumps({"cumulative_iter": int(cumulative_iter),
+                        **(meta or {})}).encode(), dtype=np.uint8)
+
+        old = self._checkpoints()
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez_compressed(fh, **payload)
+            target = self.dir / f"checkpoint_{int(cumulative_iter)}.npz"
+            os.replace(tmp, target)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        # delete superseded checkpoints only after the new one is durable
+        for _, p in old[: max(0, len(old) - (self.keep - 1))]:
+            if p.exists() and p.name != f"checkpoint_{int(cumulative_iter)}.npz":
+                p.unlink()
+        return target
+
+    def load(self, cumulative_iter: Optional[int] = None):
+        """Returns (cumulative_iter, states, histories, meta) or None."""
+        cps = self._checkpoints()
+        if not cps:
+            return None
+        if cumulative_iter is None:
+            cumulative_iter, path = cps[-1]
+        else:
+            match = [p for it, p in cps if it == cumulative_iter]
+            if not match:
+                raise FileNotFoundError(
+                    f"no checkpoint at iter {cumulative_iter} in {self.dir}")
+            path = match[0]
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta_json"]).decode())
+            state_arrays = {k[len("state_"):]: z[k] for k in z.files
+                            if k.startswith("state_")}
+            histories = {k[len("hist_"):]: z[k] for k in z.files
+                         if k.startswith("hist_")}
+        states = _arrays_to_state(state_arrays)
+        return meta.pop("cumulative_iter"), states, histories, meta
+
+
+def run_with_checkpointing(sampler, n_iter: int, directory,
+                           seeds=None, initial_beds=None,
+                           segment_size: int = 2000, progress: bool = False,
+                           checkpoint_every: Optional[int] = None):
+    """Segment-batched run with resume (reference lsc_run_wrapper protocol).
+
+    If a checkpoint exists in ``directory``, the run resumes from it and only
+    the remaining iterations execute; histories concatenate across restarts
+    exactly like the reference's results-npz merging (each restart contributes
+    its full trace including its initial row,
+    largeScaleChain_multiprocessing.py:206-231).
+    Returns (states, histories, cumulative_iter).
+    """
+    mgr = CheckpointManager(directory)
+    ck = mgr.load()
+    if ck is not None:
+        done, states, histories, _ = ck
+        histories = {k: np.asarray(v) for k, v in histories.items()}
+    else:
+        done = 0
+        states = sampler.init(initial_beds=initial_beds, seeds=seeds)
+        histories = {}
+
+    # ``done`` counts trace rows already recorded (row 0 = initial state,
+    # reference n_iter semantics); a resumed run replays no steps and its
+    # duplicated boundary row is dropped so an interrupted+resumed run yields
+    # exactly the traces of an uninterrupted one.
+    remaining = int(n_iter) - done
+    if remaining <= 0:
+        return states, histories, done
+
+    checkpoint_every = checkpoint_every or segment_size
+    resuming = ck is not None
+
+    def _merge(prev, new):
+        if not prev:
+            return {k: np.asarray(v) for k, v in new.items()}
+        return {k: np.concatenate([prev[k], new[k]], axis=1) for k in new}
+
+    box = {"segments": [], "rows": done, "saved_rows": done, "first": True}
+
+    def cb(_local, states_, traces_np):
+        seg = {k: np.moveaxis(v, 0, 1) for k, v in traces_np.items()}
+        if box["first"]:
+            if resuming:  # drop the duplicated boundary row
+                seg = {k: v[:, 1:] for k, v in seg.items()}
+            box["first"] = False
+        box["segments"].append(seg)
+        box["rows"] += seg["loss"].shape[1]
+        if box["rows"] - box["saved_rows"] >= checkpoint_every:
+            seg_cat = {k: np.concatenate([s[k] for s in box["segments"]],
+                                         axis=1)
+                       for k in box["segments"][0]}
+            merged = _merge(histories, seg_cat)
+            histories.clear() if isinstance(histories, dict) else None
+            histories.update(merged)
+            box["segments"] = []
+            mgr.save(box["rows"], states_, histories)
+            box["saved_rows"] = box["rows"]
+
+    run_len = remaining + (1 if resuming else 0)
+    states, _ = sampler.run(states, run_len, segment_size=segment_size,
+                            progress=progress, segment_callback=cb)
+    if box["segments"]:
+        seg_cat = {k: np.concatenate([s[k] for s in box["segments"]], axis=1)
+                   for k in box["segments"][0]}
+        merged = _merge(histories, seg_cat)
+        histories.clear()
+        histories.update(merged)
+    cum = done + remaining
+    mgr.save(cum, states, histories)
+    return states, histories, cum

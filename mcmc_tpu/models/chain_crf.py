@@ -70,37 +70,83 @@ class CRFStatic:
 class CRFConsts:
     """Per-problem array constants (one copy, shared across chains)."""
 
-    surf: jnp.ndarray
-    velx: jnp.ndarray
-    vely: jnp.ndarray
-    dhdt: jnp.ndarray
-    smb: jnp.ndarray
-    update_mask: jnp.ndarray   # f32: region_mask or grounded mask
-    mc_mask: jnp.ndarray       # bool: where the loss is evaluated
-    crf_weight: jnp.ndarray    # f32: logistic data weight (ones for 'RF')
+    # The 8 problem planes live STACKED in one (8, H, W) array: the hot loop
+    # gathers its local window with ONE batched dynamic_slice.  On TPU each
+    # vmapped dynamic-slice/scatter op costs ~1ms regardless of size (XLA
+    # lowers per-chain offsets to gather), so op COUNT is what matters.
+    # Plane order: surf, velx, vely, dhdt, smb, update_mask, mc_mask, crf_w.
+    stacked: jnp.ndarray       # (8, H, W) float32
     region_cells: jnp.ndarray  # (n_region, 2) int32 candidate centers
     sample_ij: jnp.ndarray     # (P, 2) int32 probe cells
     sigma_mc: jnp.ndarray      # scalar
     resolution: jnp.ndarray    # scalar
     rf: RandFieldArrays
 
+    # named plane views (setup/diagnostic paths; the hot loop uses `stacked`)
+    @property
+    def surf(self):
+        return self.stacked[0]
+
+    @property
+    def velx(self):
+        return self.stacked[1]
+
+    @property
+    def vely(self):
+        return self.stacked[2]
+
+    @property
+    def dhdt(self):
+        return self.stacked[3]
+
+    @property
+    def smb(self):
+        return self.stacked[4]
+
+    @property
+    def update_mask(self):
+        return self.stacked[5]
+
+    @property
+    def mc_mask(self):
+        return self.stacked[6] > 0
+
+    @property
+    def crf_weight(self):
+        return self.stacked[7]
+
 
 @dataclasses.dataclass
 class ChainState:
-    """Per-chain mutable state (the scan carry; batched by vmap)."""
+    """Per-chain mutable state (the scan carry; batched by vmap).
 
-    bed: jnp.ndarray        # (H, W)
-    mc_res: jnp.ndarray     # (H, W) patched residual (reference semantics)
+    The three mutable planes (bed, patched residual, resample counter) are
+    stacked in one (3, H, W) array for the same one-slice/one-scatter reason
+    as CRFConsts.stacked.
+    """
+
+    fields: jnp.ndarray     # (3, H, W): bed, mc_res, resampled
     loss_mc: jnp.ndarray    # scalar
     loss_comp: jnp.ndarray  # Kahan compensation
     key: jnp.ndarray
-    resampled: jnp.ndarray  # (H, W)
     accepted: jnp.ndarray   # int32
+
+    @property
+    def bed(self):
+        return self.fields[..., 0, :, :]
+
+    @property
+    def mc_res(self):
+        return self.fields[..., 1, :, :]
+
+    @property
+    def resampled(self):
+        return self.fields[..., 2, :, :]
 
 
 import jax.tree_util as _tu
 
-for _cls, _n in ((CRFConsts, 13), (ChainState, 7)):
+for _cls in (CRFConsts, ChainState):
     _fields = [f.name for f in dataclasses.fields(_cls)]
     _tu.register_pytree_node(
         _cls,
@@ -118,13 +164,12 @@ def init_state(bed, key, consts: CRFConsts) -> ChainState:
         consts.resolution,
     )
     loss_mc = masked_gaussian_loss(mc_res, consts.mc_mask, consts.sigma_mc)
+    fields = jnp.stack([bed, mc_res, jnp.zeros(bed.shape, jnp.float32)])
     return ChainState(
-        bed=bed,
-        mc_res=mc_res,
+        fields=fields,
         loss_mc=jnp.float32(loss_mc),
         loss_comp=jnp.float32(0.0),
         key=key,
-        resampled=jnp.zeros(bed.shape, jnp.float32),
         accepted=jnp.int32(0),
     )
 
@@ -154,27 +199,33 @@ def make_kernel(static: CRFStatic):
         in_cols = (cols >= bymin) & (cols < bymax)
         in_block = in_rows[:, None] & in_cols[None, :]
 
-        def win(a):
-            return jax.lax.dynamic_slice(a, (sx, sy), (S, S))
-
-        bed_w = win(state.bed)
-        surf_w = win(consts.surf)
-        upd_w = win(consts.update_mask)
-        mc_w = win(consts.mc_mask)
-        res_old_w = win(state.mc_res)
-        crfw_w = win(consts.crf_weight)
+        # ONE batched slice each for the 8 problem planes and 3 state planes
+        # (each vmapped dynamic-slice op costs ~1ms on TPU regardless of
+        # size, so everything windowed travels stacked)
+        cw = jax.lax.dynamic_slice(consts.stacked, (0, sx, sy), (8, S, S))
+        surf_w, velx_w, vely_w, dhdt_w, smb_w, upd_w, mcf_w, crfw_w = cw
+        sw = jax.lax.dynamic_slice(state.fields, (0, sx, sy), (3, S, S))
+        bed_w, res_old_w, resampled_w = sw
+        mc_w = mcf_w > 0
 
         # --- perturbation (reference MCMC.py:1279-1290) ----------------------
-        fr = jnp.clip(rows - off_x, 0, B - 1)
-        fc = jnp.clip(cols - off_y, 0, B - 1)
-        pert = f[fr[:, None], fc[None, :]] * crfw_w
+        # Align the (B, B) field canvas with the window by zero-padding and
+        # taking one batched dynamic_slice: pert[r, c] = f[(sx+r)-off_x, ...].
+        # A generic 2D gather here is ~10x the cost of the whole rest of the
+        # step on TPU (see tests/test_chain_crf.py kernel parity for
+        # correctness; bench ablation 2026-08-16 for the numbers).
+        FP = 2 * S + B  # shift ranges over (-(S-1), B//2]; S-padding covers it
+        fpad = jax.lax.dynamic_update_slice(
+            jnp.zeros((FP, FP), f.dtype), f, (S, S))
+        pert = jax.lax.dynamic_slice(
+            fpad, (S + sx - off_x, S + sy - off_y), (S, S)) * crfw_w
         pert = jnp.where(in_block & (upd_w > 0), pert, 0.0)
         bed_new_w = bed_w + pert
 
         # --- local residual with numpy-gradient semantics --------------------
         res_new_w = mass_conservation_residual(
-            bed_new_w, surf_w, win(consts.velx), win(consts.vely),
-            win(consts.dhdt), win(consts.smb), consts.resolution,
+            bed_new_w, surf_w, velx_w, vely_w, dhdt_w, smb_w,
+            consts.resolution,
         )
 
         # --- loss delta over patched (block) cells only ----------------------
@@ -192,16 +243,16 @@ def make_kernel(static: CRFStatic):
         rate = jnp.minimum(1.0, jnp.exp(log_ratio))
         accept = u <= rate
 
-        # --- state update (window write-back) --------------------------------
+        # --- state update: ONE window scatter, accept folded into content ----
         res_patched_w = jnp.where(in_block, res_new_w, res_old_w)
-
-        def upd(a, new_w):
-            return jax.lax.dynamic_update_slice(a, new_w, (sx, sy))
-
-        bed_out = jnp.where(accept, upd(state.bed, bed_new_w), state.bed)
-        res_out = jnp.where(accept, upd(state.mc_res, res_patched_w), state.mc_res)
-        resampled_w = win(state.resampled) + jnp.where(in_block, upd_w, 0.0)
-        resampled_out = jnp.where(accept, upd(state.resampled, resampled_w), state.resampled)
+        resampled_new_w = resampled_w + jnp.where(in_block, upd_w, 0.0)
+        new_w = jnp.stack([
+            jnp.where(accept, bed_new_w, bed_w),
+            jnp.where(accept, res_patched_w, res_old_w),
+            jnp.where(accept, resampled_new_w, resampled_w),
+        ])
+        fields_out = jax.lax.dynamic_update_slice(state.fields, new_w,
+                                                  (0, sx, sy))
 
         # Kahan-compensated loss accumulation (delta only applied on accept)
         y = jnp.where(accept & ~viol, delta, 0.0) - state.loss_comp
@@ -210,16 +261,14 @@ def make_kernel(static: CRFStatic):
         loss_out = t
 
         new_state = ChainState(
-            bed=bed_out,
-            mc_res=res_out,
+            fields=fields_out,
             loss_mc=loss_out,
             loss_comp=comp,
             key=key,
-            resampled=resampled_out,
             accepted=state.accepted + accept.astype(jnp.int32),
         )
 
-        samples = bed_out[consts.sample_ij[:, 0], consts.sample_ij[:, 1]]
+        samples = fields_out[0, consts.sample_ij[:, 0], consts.sample_ij[:, 1]]
         trace = {
             "loss_mc": loss_out,
             "loss_data": jnp.float32(0.0),
@@ -431,15 +480,14 @@ class ChainCRF:
         sample_ij = self._sample_ij()
         static = CRFStatic(H=H, W=W, S=S, n_region=int(region.shape[0]),
                            P=int(sample_ij.shape[0]), rf=rf_static)
+        stacked = np.stack([
+            self.surf, self.velx, self.vely, self.dhdt, self.smb,
+            np.asarray(update_mask, np.float32),
+            np.asarray(self.mc_region_mask == 1, np.float32),
+            np.asarray(crf_weight, np.float32),
+        ]).astype(np.float32)
         consts = CRFConsts(
-            surf=jnp.asarray(self.surf),
-            velx=jnp.asarray(self.velx),
-            vely=jnp.asarray(self.vely),
-            dhdt=jnp.asarray(self.dhdt),
-            smb=jnp.asarray(self.smb),
-            update_mask=jnp.asarray(update_mask, jnp.float32),
-            mc_mask=jnp.asarray(self.mc_region_mask == 1),
-            crf_weight=jnp.asarray(crf_weight, jnp.float32),
+            stacked=jnp.asarray(stacked),
             region_cells=jnp.asarray(region, jnp.int32),
             sample_ij=jnp.asarray(sample_ij, jnp.int32),
             sigma_mc=jnp.float32(self.sigma_mc),

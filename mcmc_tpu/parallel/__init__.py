@@ -1,1 +1,24 @@
-"""(placeholder — populated in later milestones)"""
+from .mesh import chains_mesh, chains_grid_mesh, shard_chains, replicate
+from .sampler import MultiChainSampler, run_chains, init_states
+from .diagnostics import split_rhat, ess, acceptance_rate
+from .grid_sharded import (
+    make_sharded_residual,
+    make_sharded_loss,
+    shard_grid_arrays,
+)
+
+__all__ = [
+    "chains_mesh",
+    "chains_grid_mesh",
+    "shard_chains",
+    "replicate",
+    "MultiChainSampler",
+    "run_chains",
+    "init_states",
+    "split_rhat",
+    "ess",
+    "acceptance_rate",
+    "make_sharded_residual",
+    "make_sharded_loss",
+    "shard_grid_arrays",
+]

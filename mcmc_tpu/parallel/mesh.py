@@ -1,0 +1,59 @@
+"""Device-mesh helpers.
+
+The reference's only production parallelism is a share-nothing
+``multiprocessing.Pool`` chain farm (largeScaleChain_multiprocessing.py:75-79).
+The TPU-native equivalent is a ``jax.sharding.Mesh`` with a ``chains`` axis
+(data-parallel analog: zero communication during sampling) and an optional
+``grid`` axis (domain sharding with halo exchange — the SP/CP analog, see
+grid_sharded.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def chains_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1D mesh over a ``chains`` axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("chains",))
+
+
+def chains_grid_mesh(n_chains_axis: int, n_grid_axis: int, devices=None) -> Mesh:
+    """2D mesh (chains, grid) for chain-parallel + domain-sharded runs."""
+    devices = devices if devices is not None else jax.devices()
+    need = n_chains_axis * n_grid_axis
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    dev = np.asarray(devices[:need]).reshape(n_chains_axis, n_grid_axis)
+    return Mesh(dev, axis_names=("chains", "grid"))
+
+
+def shard_chains(tree, mesh: Mesh):
+    """Place a chain-batched pytree with the leading axis split over ``chains``.
+
+    Scalars / keys with no leading batch axis are replicated.
+    """
+    n = mesh.shape["chains"]
+
+    def put(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+            spec = P("chains", *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (the shared problem constants) across the mesh."""
+    return jax.tree.map(
+        lambda x: jax.device_put(jax.numpy.asarray(x), NamedSharding(mesh, P())),
+        tree,
+    )

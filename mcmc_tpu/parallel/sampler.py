@@ -1,0 +1,200 @@
+"""Multi-chain sampler: the TPU-native chain farm.
+
+Replaces the reference's ``multiprocessing.Pool`` orchestration
+(reference: largeScaleChain_multiprocessing.py:19-98) with a single JAX
+program: chains are a ``vmap`` batch axis, devices a ``chains`` mesh axis,
+and per-chain NumPy seed lists become split PRNG keys.  Matching the
+reference's share-nothing semantics, chains exchange nothing during
+sampling; collectives appear only in diagnostics.
+
+Segmented execution mirrors the reference drivers' iteration batches
+(``[n-90k] + [10k]*9``, largeScaleChain_multiprocessing.py:637-641):
+``run`` loops host-side over compiled fixed-length segments, reporting
+progress and invoking an optional checkpoint callback between segments.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.chain_crf import (
+    ChainCRF,
+    ChainState,
+    CRFConsts,
+    CRFStatic,
+    init_state,
+    make_step,
+)
+from ..utils.rng import as_key, split_for_chains
+from .mesh import chains_mesh, replicate, shard_chains
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def run_chains(static: CRFStatic, consts: CRFConsts, states: ChainState,
+               n_steps: int, save_beds: bool = False):
+    """Advance a batch of chains ``n_steps`` MH steps under one scan.
+
+    states: ChainState with a leading chain axis on every leaf.
+    Returns (final_states, traces) with traces time-major:
+    each trace leaf has shape (n_steps, n_chains, ...).
+    """
+    step = make_step(static)
+    batched = jax.vmap(step, in_axes=(None, 0))
+
+    def body(sts, _):
+        sts, tr = batched(consts, sts)
+        if save_beds:
+            tr = dict(tr, bed=sts.bed)
+        return sts, tr
+
+    return jax.lax.scan(body, states, None, length=n_steps)
+
+
+@jax.jit
+def init_states(initial_beds, keys, consts: CRFConsts) -> ChainState:
+    """Vectorized chain initialization (full residual + loss per chain)."""
+    return jax.vmap(lambda b, k: init_state(b, k, consts))(initial_beds, keys)
+
+
+class MultiChainSampler:
+    """Chain farm for the large-scale (CRF) chain.
+
+    Equivalent role to ``largeScaleChain_mp`` + ``lsc_run_wrapper``
+    (reference largeScaleChain_multiprocessing.py:19-240), minus the
+    pickling: the prototype chain's configuration is compiled once and the
+    batch axis carries per-chain state.
+    """
+
+    def __init__(self, chain: ChainCRF, n_chains: int, mesh=None,
+                 use_mesh: bool = True):
+        self.chain = chain
+        self.n_chains = int(n_chains)
+        self.static, consts = chain.build()
+        if mesh is None and use_mesh and len(jax.devices()) > 1:
+            n_dev = len(jax.devices())
+            usable = max(d for d in range(1, n_dev + 1) if self.n_chains % d == 0)
+            mesh = chains_mesh(usable)
+        self.mesh = mesh
+        self.consts = replicate(consts, mesh) if mesh is not None else consts
+
+    # -- state management ---------------------------------------------------
+
+    def init(self, initial_beds=None, seeds=None) -> ChainState:
+        """Batched initial states.
+
+        initial_beds: (n_chains, H, W), a single (H, W) bed to broadcast, or
+        None for the builder chain's initial bed (reference drivers pass one
+        SGS bed per chain, largeScaleChain_multiprocessing.py:602-606).
+        seeds: int master seed, list of per-chain ints, or None.
+        """
+        if initial_beds is None:
+            initial_beds = self.chain.initial_bed
+        initial_beds = np.asarray(initial_beds, np.float32)
+        if initial_beds.ndim == 2:
+            initial_beds = np.broadcast_to(
+                initial_beds, (self.n_chains, *initial_beds.shape))
+        if initial_beds.shape[0] != self.n_chains:
+            raise ValueError("initial_beds leading dim must equal n_chains")
+
+        if seeds is None or isinstance(seeds, (int, np.integer)):
+            keys = split_for_chains(seeds, self.n_chains)
+        else:
+            if len(seeds) < self.n_chains:
+                raise ValueError("need at least n_chains seeds")
+            keys = jnp.stack([as_key(int(s)) for s in seeds[: self.n_chains]])
+
+        beds = jnp.asarray(initial_beds)
+        if self.mesh is not None:
+            beds = shard_chains(beds, self.mesh)
+            keys = shard_chains(keys, self.mesh)
+        states = init_states(beds, keys, self.consts)
+        if self.mesh is not None:
+            states = shard_chains(states, self.mesh)
+        return states
+
+    # -- execution ----------------------------------------------------------
+
+    def run_segment(self, states: ChainState, n_steps: int, save_beds=False):
+        return run_chains(self.static, self.consts, states, int(n_steps),
+                          bool(save_beds))
+
+    def run(self, states: ChainState, n_iter: int, segment_size: int = 2000,
+            progress: bool = True,
+            segment_callback: Optional[Callable] = None):
+        """Run ``n_iter`` iterations in compiled segments.
+
+        Iteration 0 records the initial state (reference loop semantics);
+        ``segment_callback(cumulative_iter, states, traces_np)`` fires after
+        each segment (checkpointing hook).  Returns (states, traces) with
+        chain-major numpy traces of length n_iter (index 0 = initial).
+        """
+        n_iter = int(n_iter)
+        init_row = {
+            "loss_mc": states.loss_mc,
+            "loss_data": jnp.zeros_like(states.loss_mc),
+            "loss": states.loss_mc,
+            "step": jnp.zeros(self.n_chains, bool),
+            "block": jnp.full((self.n_chains, 4), jnp.nan, jnp.float32),
+            "samples": jax.vmap(
+                lambda b: b[self.consts.sample_ij[:, 0], self.consts.sample_ij[:, 1]]
+            )(states.bed),
+        }
+        init_np = jax.tree.map(lambda x: np.asarray(x)[None], init_row)
+
+        collected = []
+        remaining = n_iter - 1
+        done = 1
+        first = True
+        t0 = time.time()
+        while remaining > 0 or first:
+            n = min(segment_size, remaining)
+            if n > 0:
+                states, traces = self.run_segment(states, n)
+                traces_np = jax.tree.map(np.asarray, traces)
+            else:
+                traces_np = jax.tree.map(lambda x: x[:0], init_np)
+            if first:
+                # the initial-state row travels with the first segment so
+                # callbacks see every trace row exactly once
+                traces_np = jax.tree.map(
+                    lambda head, tail: np.concatenate([head, tail], axis=0),
+                    init_np, traces_np)
+                first = False
+            collected.append(traces_np)
+            remaining -= n
+            done += n
+            if progress:
+                dt = time.time() - t0
+                rate = (done - 1) * self.n_chains / max(dt, 1e-9)
+                print(f"[sampler] iter {done}/{n_iter} | "
+                      f"{rate:,.0f} chain-it/s | "
+                      f"loss mean {np.asarray(states.loss_mc).mean():.4e} | "
+                      f"acc {np.asarray(states.accepted).mean() / max(done - 1, 1):.3f}",
+                      flush=True)
+            if segment_callback is not None:
+                segment_callback(done, states, traces_np)
+
+        traces = {}
+        for k in collected[0]:
+            cat = np.concatenate([c[k] for c in collected], axis=0)
+            traces[k] = np.moveaxis(cat, 0, 1)  # chain-major
+        return states, traces
+
+    # -- diagnostics --------------------------------------------------------
+
+    def diagnostics(self, traces):
+        from . import diagnostics as diag
+
+        out = {"acceptance_rate": np.asarray(traces["step"], np.float32).mean(axis=1)}
+        if traces["samples"].shape[-1] > 0:
+            samp = jnp.asarray(np.moveaxis(traces["samples"], -1, -1))
+            out["rhat"] = np.asarray(diag.split_rhat(samp))
+            out["ess"] = np.asarray(diag.ess(samp))
+        out["rhat_loss"] = float(diag.split_rhat(jnp.asarray(traces["loss"])))
+        return out

@@ -1,0 +1,114 @@
+"""SGS chain tests: bookkeeping exactness, behavioral and statistical checks."""
+
+import numpy as np
+import pytest
+
+from mcmc_tpu.models.chain_sgs import ChainSGS
+from mcmc_tpu.ops.transforms import NormalScoreTransform
+from tests import reference_impl as ref
+from tests.conftest import make_synthetic_problem
+
+
+def build_sgs_chain(p, do_transform=True, detrend=True, blocks=(5, 12)):
+    c = ChainSGS(p["xx"], p["yy"], p["initial_bed"], p["surf"], p["velx"],
+                 p["vely"], p["dhdt"], p["smb"], p["cond_bed"], p["data_mask"],
+                 p["grounded"], p["resolution"])
+    c.set_update_region(True, p["region"])
+    c.set_loss_type(sigma_mc=5.0, massConvInRegion=True)
+    if detrend:
+        from scipy.ndimage import gaussian_filter
+
+        trend = gaussian_filter(p["initial_bed"], sigma=10).astype(np.float32)
+        c.set_trend(trend, detrend_map=True)
+    else:
+        c.set_trend(None, detrend_map=False)
+    if do_transform:
+        resid = (p["initial_bed"] - (c.trend if detrend else 0)).ravel()
+        nst = NormalScoreTransform.fit(resid, n_quantiles=500)
+        c.set_normal_transformation(nst, do_transform=True)
+    else:
+        c.set_normal_transformation(None, do_transform=False)
+    c.set_variogram("Exponential", 5e3, 1.0, 0.0)
+    c.set_sgs_param(48, 30e3)
+    c.set_block_sizes(blocks[0], blocks[1], blocks[0], blocks[1])
+    return c
+
+
+class TestSGSChain:
+    def test_run_behavior_and_residual_exactness(self):
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_sgs_chain(p)
+        out = chain.run(n_iter=120, seed=0)
+
+        loss = out["loss"]
+        assert loss.shape == (120,)
+        assert np.all(np.isfinite(loss))
+        acc = out["steps"].mean()
+        assert 0.01 < acc < 0.99
+        # SGS patching must equal a full-grid recompute exactly (no stale ring)
+        final = out["final_state"]
+        trend = chain.trend if chain.detrend_map else 0.0
+        full_res = ref.mass_conservation_residual(
+            np.asarray(final.bed, np.float64) + trend, p["surf"], p["velx"],
+            p["vely"], p["dhdt"], p["smb"], p["resolution"])
+        np.testing.assert_allclose(np.asarray(final.mc_res), full_res,
+                                   rtol=2e-3, atol=2e-2)
+        # loss bookkeeping consistent with the patched residual
+        recomputed = ref.masked_gaussian_loss(
+            np.asarray(final.mc_res), np.asarray(chain.mc_region_mask), 5.0)
+        np.testing.assert_allclose(float(final.loss_mc), recomputed, rtol=1e-3)
+        # updates stay inside the region (+1 halo cell of residual change
+        # but bed untouched outside the block/region)
+        touched = (np.asarray(final.bed) + (chain.trend if chain.detrend_map
+                                            else 0.0)
+                   ).astype(np.float32) != p["initial_bed"].astype(np.float32)
+
+    def test_no_transform_no_detrend(self):
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_sgs_chain(p, do_transform=False, detrend=False)
+        out = chain.run(n_iter=60, seed=1)
+        assert np.isfinite(out["loss"]).all()
+        assert out["steps"][1:].mean() > 0.0
+
+    def test_reproducible(self):
+        p = make_synthetic_problem(H=64, W=64)
+        out1 = build_sgs_chain(p).run(n_iter=40, seed=3)
+        out2 = build_sgs_chain(p).run(n_iter=40, seed=3)
+        np.testing.assert_array_equal(out1["loss"], out2["loss"])
+
+    def test_data_cells_pinned_to_radar(self):
+        """In-block radar cells are reset to conditioning data, not resampled
+        (reference MCMC.py:1771-1773)."""
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_sgs_chain(p)
+        out = chain.run(n_iter=150, seed=5)
+        final_bed = np.asarray(out["bed"])
+        dm = p["data_mask"] & (np.asarray(out["final_state"].resampled) > 0)
+        if dm.sum() > 0:
+            # resampled data cells carry (transform-roundtripped) radar values
+            want = p["cond_bed"][dm]
+            got = final_bed[dm]
+            assert np.nanmax(np.abs(got - want)) < 60.0  # quantile clamp tol
+
+    def test_sample_points_and_all_beds(self):
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_sgs_chain(p)
+        chain.set_sample_points_locations(
+            np.array([[p["xx"][20, 20], p["yy"][20, 20]]]))
+        out = chain.run(n_iter=25, only_save_last_bed=False, seed=2)
+        assert out["bed"].shape == (25, 64, 64)
+        assert out["sample_values"].shape == (1, 25)
+        np.testing.assert_allclose(
+            out["sample_values"][0, 0], p["initial_bed"][20, 20], atol=30.0)
+
+    def test_variogram_validation(self):
+        p = make_synthetic_problem(H=64, W=64)
+        c = ChainSGS(p["xx"], p["yy"], p["initial_bed"], p["surf"], p["velx"],
+                     p["vely"], p["dhdt"], p["smb"], p["cond_bed"],
+                     p["data_mask"], p["grounded"], p["resolution"])
+        with pytest.raises(ValueError):
+            c.set_variogram("Cubic", 5e3, 1.0, 0.0)
+        with pytest.raises(ValueError):
+            c.set_variogram("Matern", 5e3, 1.0, 0.0)  # missing smoothness
+        with pytest.raises(ValueError):
+            c.set_variogram("Gaussian", [1e3], 1.0, 0.0, isotropic=False)

@@ -1,0 +1,147 @@
+"""Batched kriging + conditional Gaussian block draws vs the NumPy twin."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_tpu.ops.covariance import CovarianceSpec, make_rotation_matrix
+from mcmc_tpu.ops.kriging import (
+    conditional_gaussian_block,
+    ok_solve_masked,
+    sk_solve_masked,
+)
+from tests import reference_impl as ref
+
+VARIO = dict(azimuth=20.0, major_range=8000.0, minor_range=5000.0,
+             sill=1.4, nugget=0.05, vtype="gaussian")
+
+
+def random_neighbors(rng, n):
+    xy = rng.uniform(0, 10_000, size=(n, 2))
+    vals = rng.normal(0, 1, size=n)
+    return np.column_stack([xy, vals])
+
+
+class TestMaskedKriging:
+    @pytest.mark.parametrize("n_valid", [4, 9, 16])
+    def test_sk_matches_reference(self, rng, n_valid):
+        K = 16  # fixed slot count
+        nearest = random_neighbors(rng, n_valid)
+        est_ref, var_ref = ref.sk_solve((5000.0, 4000.0), nearest, VARIO, 0.3)
+
+        coords = np.zeros((K, 2))
+        values = np.zeros(K)
+        mask = np.zeros(K)
+        coords[:n_valid] = nearest[:, :2]
+        values[:n_valid] = nearest[:, 2]
+        mask[:n_valid] = 1.0
+        # garbage in invalid slots must not affect the result
+        coords[n_valid:] = rng.uniform(0, 10_000, size=(K - n_valid, 2))
+        values[n_valid:] = 99.0
+
+        rot = make_rotation_matrix(VARIO["azimuth"], VARIO["major_range"],
+                                   VARIO["minor_range"])
+        est, var = sk_solve_masked(
+            CovarianceSpec("gaussian"), jnp.asarray([5000.0, 4000.0]),
+            jnp.asarray(coords, jnp.float32), jnp.asarray(values, jnp.float32),
+            jnp.asarray(mask, jnp.float32), rot,
+            jnp.float32(VARIO["sill"]), jnp.float32(VARIO["nugget"]),
+            jnp.float32(0.3))
+        assert float(est) == pytest.approx(est_ref, rel=2e-3, abs=2e-3)
+        assert float(var) == pytest.approx(var_ref, rel=2e-2, abs=2e-3)
+
+    @pytest.mark.parametrize("n_valid", [4, 12])
+    def test_ok_matches_reference(self, rng, n_valid):
+        K = 16
+        nearest = random_neighbors(rng, n_valid)
+        est_ref, var_ref = ref.ok_solve((5000.0, 4000.0), nearest, VARIO)
+
+        coords = np.zeros((K, 2))
+        values = np.zeros(K)
+        mask = np.zeros(K)
+        coords[:n_valid] = nearest[:, :2]
+        values[:n_valid] = nearest[:, 2]
+        mask[:n_valid] = 1.0
+        rot = make_rotation_matrix(VARIO["azimuth"], VARIO["major_range"],
+                                   VARIO["minor_range"])
+        est, var = ok_solve_masked(
+            CovarianceSpec("gaussian"), jnp.asarray([5000.0, 4000.0]),
+            jnp.asarray(coords, jnp.float32), jnp.asarray(values, jnp.float32),
+            jnp.asarray(mask, jnp.float32), rot,
+            jnp.float32(VARIO["sill"]), jnp.float32(VARIO["nugget"]))
+        assert float(est) == pytest.approx(est_ref, rel=5e-3, abs=5e-3)
+        assert float(var) == pytest.approx(var_ref, rel=3e-2, abs=5e-3)
+
+
+class TestConditionalGaussian:
+    def test_single_cell_equals_simple_kriging(self, rng):
+        """A 1-cell block conditional draw has mean == SK estimate and
+        variance == SK variance (the screening-exact case)."""
+        n = 10
+        nearest = random_neighbors(rng, n)
+        gm = 0.0
+        est_ref, var_ref = ref.sk_solve((5000.0, 4000.0), nearest, VARIO, gm)
+
+        rot = make_rotation_matrix(VARIO["azimuth"], VARIO["major_range"],
+                                   VARIO["minor_range"])
+        draw, mean, var = conditional_gaussian_block(
+            CovarianceSpec("gaussian"),
+            jnp.asarray([[5000.0, 4000.0]], jnp.float32),
+            jnp.asarray(nearest[:, :2], jnp.float32),
+            jnp.asarray(nearest[:, 2], jnp.float32),
+            jnp.ones(n, jnp.float32), rot,
+            jnp.float32(VARIO["sill"]), jnp.float32(VARIO["nugget"]),
+            jnp.float32(gm), jnp.zeros(1, jnp.float32), jitter=1e-6)
+        assert float(mean[0]) == pytest.approx(est_ref, rel=5e-3, abs=5e-3)
+        assert float(var[0]) == pytest.approx(var_ref, rel=5e-2, abs=5e-3)
+        # zero noise -> draw == mean
+        assert float(draw[0]) == pytest.approx(float(mean[0]), abs=1e-5)
+
+    def test_block_draw_statistics(self, rng):
+        """Empirical mean/cov of repeated draws matches the analytic
+        conditional distribution."""
+        spec = CovarianceSpec("exponential")
+        rot = make_rotation_matrix(0.0, 4000.0, 4000.0)
+        block_xy = jnp.asarray(
+            [[0.0, 0.0], [500.0, 0.0], [0.0, 500.0], [500.0, 500.0]],
+            jnp.float32)
+        cond_xy = jnp.asarray([[1500.0, 0.0], [0.0, 1500.0], [-1000.0, -1000.0]],
+                              jnp.float32)
+        cond_vals = jnp.asarray([1.0, -0.5, 0.2], jnp.float32)
+        mask = jnp.ones(3, jnp.float32)
+
+        n_draws = 4000
+        noise = jax.random.normal(jax.random.key(0), (n_draws, 4))
+        f = jax.vmap(lambda z: conditional_gaussian_block(
+            spec, block_xy, cond_xy, cond_vals, mask, rot,
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0), z,
+            jitter=1e-6)[0])
+        draws = np.asarray(f(noise))
+
+        _, mean, var = conditional_gaussian_block(
+            spec, block_xy, cond_xy, cond_vals, mask, rot,
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.zeros(4), jitter=1e-6)
+        np.testing.assert_allclose(draws.mean(0), np.asarray(mean),
+                                   atol=4 * np.sqrt(np.asarray(var) / n_draws).max())
+        np.testing.assert_allclose(draws.var(0), np.asarray(var),
+                                   rtol=0.15, atol=0.02)
+
+    def test_invalid_cond_slots_ignored(self, rng):
+        spec = CovarianceSpec("gaussian")
+        rot = make_rotation_matrix(0.0, 4000.0, 4000.0)
+        block_xy = jnp.asarray([[0.0, 0.0]], jnp.float32)
+        cond_xy = jnp.asarray([[1000.0, 0.0], [50.0, 50.0]], jnp.float32)
+        vals = jnp.asarray([1.0, 77.0], jnp.float32)
+        # second (nearby, crazy value) point masked out
+        _, m1, _ = conditional_gaussian_block(
+            spec, block_xy, cond_xy, vals, jnp.asarray([1.0, 0.0]), rot,
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.zeros(1))
+        _, m2, _ = conditional_gaussian_block(
+            spec, block_xy, cond_xy[:1], vals[:1], jnp.asarray([1.0]), rot,
+            jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
+            jnp.zeros(1))
+        assert float(m1[0]) == pytest.approx(float(m2[0]), abs=1e-4)

@@ -1,0 +1,120 @@
+"""Multi-chain sampler, sharding, and diagnostics tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mcmc_tpu.parallel import (
+    MultiChainSampler,
+    chains_mesh,
+    ess,
+    make_sharded_loss,
+    make_sharded_residual,
+    shard_grid_arrays,
+    split_rhat,
+)
+from tests import reference_impl as ref
+from tests.conftest import make_synthetic_problem
+from tests.test_chain_crf import build_small_chain
+
+
+class TestMultiChain:
+    def test_vmapped_chains_match_single(self):
+        """Chain 0 of a batched run equals a single-chain run with same key."""
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        sampler = MultiChainSampler(chain, n_chains=4, use_mesh=False)
+        states = sampler.init(seeds=[11, 22, 33, 44])
+        states2, traces = sampler.run(states, n_iter=60, segment_size=30,
+                                      progress=False)
+        assert traces["loss"].shape == (4, 60)
+        # single-chain with the same seed
+        out = chain.run(n_iter=60, seed=11)
+        np.testing.assert_allclose(traces["loss"][0], out["loss"], rtol=1e-6)
+        # chains with different seeds explore differently
+        assert not np.allclose(traces["loss"][0], traces["loss"][1])
+
+    def test_sharded_over_devices(self):
+        assert len(jax.devices()) == 8
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        sampler = MultiChainSampler(chain, n_chains=8)
+        assert sampler.mesh is not None
+        states = sampler.init(seeds=7)
+        # chain states actually live sharded over devices
+        assert len(states.bed.sharding.device_set) == 8
+        states, traces = sampler.run(states, n_iter=40, segment_size=40,
+                                     progress=False)
+        assert traces["loss"].shape == (8, 40)
+        assert np.isfinite(traces["loss"]).all()
+        accs = traces["step"].mean(axis=1)
+        assert (accs > 0.01).all()
+
+    def test_segmentation_invariant(self):
+        """Same results regardless of segment partitioning."""
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        s = MultiChainSampler(chain, n_chains=2, use_mesh=False)
+        st1 = s.init(seeds=5)
+        _, tr1 = s.run(st1, n_iter=50, segment_size=49, progress=False)
+        st2 = s.init(seeds=5)
+        _, tr2 = s.run(st2, n_iter=50, segment_size=10, progress=False)
+        np.testing.assert_array_equal(tr1["loss"], tr2["loss"])
+
+
+class TestDiagnostics:
+    def test_rhat_converged_vs_not(self, rng):
+        # identical-distribution chains -> rhat ~ 1
+        good = rng.normal(size=(8, 500))
+        r = float(np.asarray(split_rhat(jnp.asarray(good))))
+        assert r == pytest.approx(1.0, abs=0.05)
+        # offset chains -> rhat >> 1
+        bad = good + np.arange(8)[:, None] * 5.0
+        r2 = float(np.asarray(split_rhat(jnp.asarray(bad))))
+        assert r2 > 1.5
+
+    def test_ess_iid_vs_correlated(self, rng):
+        iid = rng.normal(size=(4, 1000))
+        e_iid = float(np.asarray(ess(jnp.asarray(iid))))
+        assert e_iid > 2000  # ~ m*n for iid
+        # AR(1) with strong correlation -> much smaller ESS
+        x = np.zeros((4, 1000))
+        eps = rng.normal(size=(4, 1000))
+        for t in range(1, 1000):
+            x[:, t] = 0.95 * x[:, t - 1] + eps[:, t]
+        e_ar = float(np.asarray(ess(jnp.asarray(x))))
+        assert e_ar < 0.25 * e_iid
+
+
+class TestGridSharding:
+    def test_sharded_residual_matches_dense(self, rng):
+        from mcmc_tpu.parallel.mesh import chains_grid_mesh
+        mesh = chains_grid_mesh(1, 8)
+        H, W, res = 64, 32, 500.0
+        a = {k: rng.normal(size=(H, W)).astype(np.float32)
+             for k in "bed surf velx vely dhdt smb".split()}
+        sharded = shard_grid_arrays(mesh, a)
+        f = make_sharded_residual(mesh)
+        got = np.asarray(f(sharded["bed"], sharded["surf"], sharded["velx"],
+                           sharded["vely"], sharded["dhdt"], sharded["smb"],
+                           jnp.float32(res)))
+        want = ref.mass_conservation_residual(
+            a["bed"].astype(np.float64), a["surf"].astype(np.float64),
+            a["velx"].astype(np.float64), a["vely"].astype(np.float64),
+            a["dhdt"].astype(np.float64), a["smb"].astype(np.float64), res)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_sharded_loss_matches_dense(self, rng):
+        from mcmc_tpu.parallel.mesh import chains_grid_mesh
+        mesh = chains_grid_mesh(1, 8)
+        H, W = 64, 16
+        res = rng.normal(size=(H, W)).astype(np.float32)
+        mask = (rng.random((H, W)) < 0.5)
+        sharded = shard_grid_arrays(mesh, {"res": res, "mask": mask})
+        f = make_sharded_loss(mesh)
+        got = float(f(sharded["res"], sharded["mask"], jnp.float32(5.0)))
+        want = ref.masked_gaussian_loss(res.astype(np.float64), mask, 5.0)
+        assert got == pytest.approx(want, rel=1e-4)
