@@ -134,7 +134,8 @@ def measure_tpu(chain, segment=100, min_seconds=8.0, max_iters=4000):
     # can trip device-side execution limits on tunneled TPUs)
     t0 = time.time()
     states, _ = sampler.run_segment(states, segment)
-    jax.block_until_ready(states.loss_mc)
+    _ = float(np.asarray(states.loss_mc)[0])  # real sync (block_until_ready
+    # does not wait for execution on the tunneled axon backend)
     log(f"[bench] warmup (compile): {time.time() - t0:.1f}s")
     # timed adaptive loop
     done = 0
@@ -142,9 +143,9 @@ def measure_tpu(chain, segment=100, min_seconds=8.0, max_iters=4000):
     t0 = time.time()
     while (time.time() - t0 < min_seconds) and done < max_iters:
         states, traces = sampler.run_segment(states, segment)
-        jax.block_until_ready(states.loss_mc)
+        acc = np.asarray(traces["step"]).mean()  # transfer = real sync
         done += segment
-        accs.append(np.asarray(traces["step"]).mean())
+        accs.append(acc)
     dt = time.time() - t0
     rate = done * N_CHAINS / dt
     loss = np.asarray(states.loss_mc)
