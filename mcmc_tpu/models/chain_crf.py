@@ -299,6 +299,101 @@ def make_step(static: CRFStatic):
     return step
 
 
+def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
+    """Chain-batched MH step backed by the fused Pallas window kernel.
+
+    Numerically equivalent to ``vmap(make_step(static))`` (asserted in
+    tests/test_window_kernel.py) but the window gather/compute/scatter phase
+    runs as one pallas_call with per-chain DMAs instead of XLA
+    gather/scatter — the dominant cost of the vmapped path on TPU.
+
+    Signature: (consts, states_batched) -> (states_batched, traces) where
+    every state leaf and trace entry has a leading chain axis.
+    """
+    from ..ops.window_kernel import fused_window_sizes, make_fused_window_update
+
+    H, W, B = static.H, static.W, static.rf.B
+    SX, SY = fused_window_sizes(H, W, B)
+    fused = make_fused_window_update(H, W, B, interpret=interpret)
+
+    def step(consts: CRFConsts, states: ChainState):
+        def draws(key):
+            key, k_block, k_center, k_u = jax.random.split(key, 4)
+            f, size_idx, w, h = draw_block(k_block, static.rf, consts.rf)
+            cidx = jax.random.randint(k_center, (), 0, static.n_region)
+            u = jax.random.uniform(k_u, ())
+            return key, f, w, h, cidx, u
+
+        key, f, w, h, cidx, u = jax.vmap(draws)(states.key)
+        cx = consts.region_cells[cidx, 0]
+        cy = consts.region_cells[cidx, 1]
+
+        bxmin = jnp.maximum(0, (2 * cx - h) // 2)
+        bxmax = jnp.minimum(H, (2 * cx + h) // 2)
+        bymin = jnp.maximum(0, (2 * cy - w) // 2)
+        bymax = jnp.minimum(W, (2 * cy + w) // 2)
+        off_x = (2 * cx - h) // 2
+        off_y = (2 * cy - w) // 2
+        # aligned window starts (TPU DMA tiling: rows % 8, cols % 128); the
+        # quantized start still keeps the block's pad-1 ring interior or on a
+        # true domain edge.  Canvas placement is a circular roll: because
+        # SX >= B and SY >= B, wrapped rows/cols can never land on in-block
+        # cells (c - off ∈ [0, B) and wrap shifts by ±SX/SY put content at
+        # c - off ∈ [-S, B - S) — disjoint).
+        if SX == H:
+            sx = jnp.zeros_like(bxmin)
+        else:
+            sx = jnp.clip(8 * ((bxmin - 1) // 8), 0, H - SX)
+        if SY == W:
+            sy = jnp.zeros_like(bymin)
+        else:
+            sy = jnp.clip(128 * ((bymin - 1) // 128), 0, W - SY)
+        shift_x = jnp.mod(off_x - sx, SX)
+        shift_y = jnp.mod(off_y - sy, SY)
+        geom = jnp.stack([sx, sy, shift_x, shift_y, bxmin, bxmax, bymin,
+                          bymax], axis=1).astype(jnp.int32)
+        n = states.fields.shape[0]
+        fvals = jnp.stack([
+            u, states.loss_mc,
+            jnp.broadcast_to(consts.sigma_mc, (n,)),
+            jnp.broadcast_to(consts.resolution, (n,)),
+        ], axis=1).astype(jnp.float32)
+
+        fields_out, acc_f, delta = fused(consts.stacked, states.fields, f,
+                                         geom, fvals)
+        accept = acc_f > 0
+
+        # Kahan-compensated loss accumulation (delta pre-zeroed by the
+        # kernel unless accept & ~viol)
+        y = delta - states.loss_comp
+        t = states.loss_mc + y
+        comp = (t - states.loss_mc) - y
+
+        new_states = ChainState(
+            fields=fields_out,
+            loss_mc=t,
+            loss_comp=comp,
+            key=key,
+            accepted=states.accepted + accept.astype(jnp.int32),
+        )
+        if static.P > 0:
+            samples = fields_out[:, 0][
+                :, consts.sample_ij[:, 0], consts.sample_ij[:, 1]]
+        else:
+            samples = jnp.zeros((n, 0), jnp.float32)
+        trace = {
+            "loss_mc": t,
+            "loss_data": jnp.zeros((n,), jnp.float32),
+            "loss": t,
+            "step": accept,
+            "block": jnp.stack([cx, cy, h, w], axis=1).astype(jnp.float32),
+            "samples": samples,
+        }
+        return new_states, trace
+
+    return step
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def run_chain(static: CRFStatic, consts: CRFConsts, state: ChainState,
               n_iter: int, save_beds: bool = False):

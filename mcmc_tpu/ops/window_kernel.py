@@ -1,0 +1,220 @@
+"""Fused Pallas TPU kernel for the CRF chain's window phase.
+
+Motivation (measured on v5e, 2026-08-16): XLA lowers vmapped
+dynamic-slice / dynamic-update-slice with per-chain offsets to gather /
+scatter, each costing ~1.3 ms per op regardless of slice size.  Even after
+stacking planes to minimize op count, the MH step spends ~5 ms/step-batch in
+4 such ops.  This kernel fuses the entire window phase — gather problem +
+state windows, build the perturbation, windowed mass-conservation residual,
+loss delta, thickness guard, MH accept, and the conditional in-place window
+writeback — into ONE pallas_call with a grid over chains, using async DMA
+(native on the DMA engines) instead of gather/scatter.
+
+TPU DMA slices must be tile-aligned (sublane multiples of 8, lane multiples
+of 128, or the full dimension), so the fused path uses an ALIGNED window:
+size (SX, SY) = (roundup8(B+16), roundup128(B+132)) and start offsets
+quantized to (8, 128) multiples chosen so the block plus its one-cell
+gradient pad stays interior (or on a true domain edge).  The proposal
+canvas is placed by a dynamic circular roll; wrap-around rows/cols always
+land outside the block mask (see the geometry derivation in
+models/chain_crf.make_batched_step_fused).
+
+Numerics match models/chain_crf.make_kernel (asserted by
+tests/test_window_kernel.py in interpreter mode and by the on-TPU drive
+script); the XLA path remains the portable fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def fused_window_sizes(H: int, W: int, B: int):
+    """Aligned window sizes (SX, SY) for the fused path."""
+    SX = min(H, _round_up(B + 16, 8))
+    SY = min(W, _round_up(B + 132, 128))
+    return SX, SY
+
+
+def fused_path_supported(H: int, W: int, B: int) -> bool:
+    """Aligned-window geometry needs divisible grid dims (or full-dim
+    windows) so quantized starts stay aligned after clamping."""
+    SX, SY = fused_window_sizes(H, W, B)
+    ok_rows = (SX == H) or (H % 8 == 0 and SX >= B + 10)
+    ok_cols = (SY == W) or (W % 128 == 0 and SY >= B + 130)
+    return ok_rows and ok_cols
+
+
+def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
+    """Build the fused window-update op.
+
+    Returns fn(consts_stacked (8,H,W), fields (N,3,H,W), fcan (N,B,B),
+               geom (N,8) int32, fvals (N,4) f32) ->
+               (fields' (N,3,H,W), accept (N,) f32, delta (N,) f32)
+
+    geom rows: [sx, sy, shift_x, shift_y, bxmin, bxmax, bymin, bymax] where
+    (sx, sy) are ALIGNED window starts and shift_* the circular-roll
+    placement of the proposal canvas.  fvals rows: [u, loss_prev, sigma_mc,
+    resolution].  fields planes: bed, mc_res, resampled; consts planes:
+    surf, velx, vely, dhdt, smb, update_mask, mc_mask, crf_weight.
+    """
+    SX, SY = fused_window_sizes(H, W, B)
+
+    def kernel(geom_ref, fvals_ref, cons_hbm, fields_in, fcan_ref, fields_out,
+               acc_ref, delta_ref,
+               cons_vmem, st_vmem, new_vmem, sems):
+        del fields_in  # aliased with fields_out; all access goes through out
+        i = pl.program_id(0)
+        # alignment facts the host-side geometry guarantees (multiple_of
+        # lets Mosaic prove the DMA slice starts are tile-aligned)
+        sx = (pl.multiple_of(geom_ref[i, 0], 8) if SX != H
+              else geom_ref[i, 0])
+        sy = (pl.multiple_of(geom_ref[i, 1], 128) if SY != W
+              else geom_ref[i, 1])
+        shift_x = geom_ref[i, 2]
+        shift_y = geom_ref[i, 3]
+        bxmin = geom_ref[i, 4]
+        bxmax = geom_ref[i, 5]
+        bymin = geom_ref[i, 6]
+        bymax = geom_ref[i, 7]
+        u = fvals_ref[i, 0]
+        loss_prev = fvals_ref[i, 1]
+        sigma = fvals_ref[i, 2]
+        resolution = fvals_ref[i, 3]
+
+        cdma = pltpu.make_async_copy(
+            cons_hbm.at[:, pl.ds(sx, SX), pl.ds(sy, SY)], cons_vmem,
+            sems.at[0])
+        cdma.start()
+        sdma = pltpu.make_async_copy(
+            fields_out.at[i, :, pl.ds(sx, SX), pl.ds(sy, SY)], st_vmem,
+            sems.at[1])
+        sdma.start()
+
+        # place the proposal canvas: static zero-pad + dynamic roll
+        canvas = jnp.pad(fcan_ref[0], ((0, SX - B), (0, SY - B)))
+        if interpret:
+            canvas = jnp.roll(canvas, shift_x, axis=0)
+            canvas = jnp.roll(canvas, shift_y, axis=1)
+        else:
+            canvas = pltpu.roll(canvas, shift_x, 0)
+            canvas = pltpu.roll(canvas, shift_y, 1)
+
+        cdma.wait()
+        sdma.wait()
+
+        surf_w = cons_vmem[0]
+        velx_w = cons_vmem[1]
+        vely_w = cons_vmem[2]
+        dhdt_w = cons_vmem[3]
+        smb_w = cons_vmem[4]
+        upd_w = cons_vmem[5]
+        mcf_w = cons_vmem[6]
+        crfw_w = cons_vmem[7]
+        bed_w = st_vmem[0]
+        res_old_w = st_vmem[1]
+        resampled_w = st_vmem[2]
+
+        rows = sx + jax.lax.broadcasted_iota(jnp.int32, (SX, SY), 0)
+        cols = sy + jax.lax.broadcasted_iota(jnp.int32, (SX, SY), 1)
+        in_block = ((rows >= bxmin) & (rows < bxmax)
+                    & (cols >= bymin) & (cols < bymax))
+
+        pert = canvas * crfw_w
+        pert = jnp.where(in_block & (upd_w > 0), pert, 0.0)
+        bed_new_w = bed_w + pert
+
+        # windowed mass-conservation residual, numpy-gradient semantics
+        thick = surf_w - bed_new_w
+        fx = velx_w * thick
+        fy = vely_w * thick
+        two_r = 2.0 * resolution
+        dx = jnp.concatenate([
+            (fx[:, 1:2] - fx[:, 0:1]) / resolution,
+            (fx[:, 2:] - fx[:, :-2]) / two_r,
+            (fx[:, -1:] - fx[:, -2:-1]) / resolution,
+        ], axis=1)
+        dy = jnp.concatenate([
+            (fy[1:2, :] - fy[0:1, :]) / resolution,
+            (fy[2:, :] - fy[:-2, :]) / two_r,
+            (fy[-1:, :] - fy[-2:-1, :]) / resolution,
+        ], axis=0)
+        res_new_w = dx + dy + dhdt_w - smb_w
+
+        patch = in_block & (mcf_w > 0)
+
+        def nansq(x):
+            s = x * x
+            return jnp.where(jnp.isnan(s), 0.0, s)
+
+        denom = 2.0 * sigma * sigma
+        delta = (jnp.sum(jnp.where(patch, nansq(res_new_w), 0.0))
+                 - jnp.sum(jnp.where(patch, nansq(res_old_w), 0.0))) / denom
+        loss_next = loss_prev + delta
+
+        viol = jnp.any(((surf_w - bed_new_w) <= 0.0) & in_block & (upd_w > 0))
+        loss_next = jnp.where(viol, jnp.inf, loss_next)
+
+        rate = jnp.minimum(1.0, jnp.exp(loss_prev - loss_next))
+        accept = u <= rate
+
+        acc_ref[i, 0] = accept.astype(jnp.float32)
+        delta_ref[i, 0] = jnp.where(accept & ~viol, delta, 0.0)
+
+        @pl.when(accept)
+        def _():
+            new_vmem[0] = bed_new_w
+            new_vmem[1] = jnp.where(in_block, res_new_w, res_old_w)
+            new_vmem[2] = resampled_w + jnp.where(in_block, upd_w, 0.0)
+            wdma = pltpu.make_async_copy(
+                new_vmem, fields_out.at[i, :, pl.ds(sx, SX), pl.ds(sy, SY)],
+                sems.at[2])
+            wdma.start()
+            wdma.wait()
+
+    def fn(consts_stacked, fields, fcan, geom, fvals):
+        N = fields.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),     # consts (8,H,W)
+                pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
+                pl.BlockSpec((1, B, B), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),    # fcan
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # accept (N,1)
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # delta (N,1)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((8, SX, SY), jnp.float32),
+                pltpu.VMEM((3, SX, SY), jnp.float32),
+                pltpu.VMEM((3, SX, SY), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+        )
+        fields_out, acc, delta = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct(fields.shape, fields.dtype),
+                jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            ],
+            input_output_aliases={3: 0},  # fields (4th operand incl. the 2
+            # scalar-prefetch args) aliases the first output
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(geom, fvals, consts_stacked, fields, fcan)
+        return fields_out, acc[:, 0], delta[:, 0]
+
+    return fn

@@ -35,17 +35,24 @@ from ..utils.rng import as_key, split_for_chains
 from .mesh import chains_mesh, replicate, shard_chains
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def run_chains(static: CRFStatic, consts: CRFConsts, states: ChainState,
-               n_steps: int, save_beds: bool = False):
+               n_steps: int, save_beds: bool = False, impl: str = "xla"):
     """Advance a batch of chains ``n_steps`` MH steps under one scan.
 
     states: ChainState with a leading chain axis on every leaf.
+    impl: "xla" (vmapped portable path) or "fused" (Pallas window kernel,
+    TPU only; numerically identical — tests/test_window_kernel.py).
     Returns (final_states, traces) with traces time-major:
     each trace leaf has shape (n_steps, n_chains, ...).
     """
-    step = make_step(static)
-    batched = jax.vmap(step, in_axes=(None, 0))
+    if impl == "fused":
+        from ..models.chain_crf import make_batched_step_fused
+
+        batched = make_batched_step_fused(static)
+    else:
+        step = make_step(static)
+        batched = jax.vmap(step, in_axes=(None, 0))
 
     def body(sts, _):
         sts, tr = batched(consts, sts)
@@ -72,7 +79,7 @@ class MultiChainSampler:
     """
 
     def __init__(self, chain: ChainCRF, n_chains: int, mesh=None,
-                 use_mesh: bool = True):
+                 use_mesh: bool = True, impl: str = "auto"):
         self.chain = chain
         self.n_chains = int(n_chains)
         self.static, consts = chain.build()
@@ -82,6 +89,18 @@ class MultiChainSampler:
             mesh = chains_mesh(usable)
         self.mesh = mesh
         self.consts = replicate(consts, mesh) if mesh is not None else consts
+        if impl == "auto":
+            # the fused Pallas path needs a real TPU, a single device (the
+            # sharded path partitions the vmapped XLA step instead), and
+            # DMA-alignable window geometry
+            from ..ops.window_kernel import fused_path_supported
+
+            impl = ("fused" if jax.devices()[0].platform == "tpu"
+                    and mesh is None
+                    and fused_path_supported(self.static.H, self.static.W,
+                                             self.static.rf.B)
+                    else "xla")
+        self.impl = impl
 
     # -- state management ---------------------------------------------------
 
@@ -122,7 +141,7 @@ class MultiChainSampler:
 
     def run_segment(self, states: ChainState, n_steps: int, save_beds=False):
         return run_chains(self.static, self.consts, states, int(n_steps),
-                          bool(save_beds))
+                          bool(save_beds), self.impl)
 
     def run(self, states: ChainState, n_iter: int, segment_size: int = 2000,
             progress: bool = True,
