@@ -32,19 +32,26 @@ from ..models.chain_crf import ChainState
 _CKPT_RE = re.compile(r"checkpoint_(\d+)\.npz$")
 
 
-def _state_to_arrays(states: ChainState) -> dict:
+def _state_classes():
+    from ..models.chain_sgs import SGSState
+
+    return {"ChainState": ChainState, "SGSState": SGSState}
+
+
+def _state_to_arrays(states) -> dict:
     d = {f.name: np.asarray(getattr(states, f.name))
-         for f in dataclasses.fields(ChainState) if f.name != "key"}
+         for f in dataclasses.fields(type(states)) if f.name != "key"}
     d["key_data"] = np.asarray(jax.random.key_data(states.key))
     return d
 
 
-def _arrays_to_state(d: dict) -> ChainState:
+def _arrays_to_state(d: dict, cls_name: str = "ChainState"):
     import jax.numpy as jnp
 
+    cls = _state_classes()[cls_name]
     key = jax.random.wrap_key_data(jnp.asarray(d["key_data"]))
     kwargs = {k: jnp.asarray(v) for k, v in d.items() if k != "key_data"}
-    return ChainState(key=key, **kwargs)
+    return cls(key=key, **kwargs)
 
 
 class CheckpointManager:
@@ -85,6 +92,7 @@ class CheckpointManager:
                 payload[f"hist_{k}"] = np.asarray(v)
         payload["meta_json"] = np.frombuffer(
             json.dumps({"cumulative_iter": int(cumulative_iter),
+                        "state_class": type(states).__name__,
                         **(meta or {})}).encode(), dtype=np.uint8)
 
         old = self._checkpoints()
@@ -122,7 +130,8 @@ class CheckpointManager:
                             if k.startswith("state_")}
             histories = {k[len("hist_"):]: z[k] for k in z.files
                          if k.startswith("hist_")}
-        states = _arrays_to_state(state_arrays)
+        states = _arrays_to_state(state_arrays,
+                                  meta.pop("state_class", "ChainState"))
         return meta.pop("cumulative_iter"), states, histories, meta
 
 

@@ -200,10 +200,14 @@ def make_sgs_kernel(static: SGSStatic):
         cond_xy = jnp.stack([(cols[None, :] * jnp.ones((SB, 1))).ravel() * res_m,
                              (rows[:, None] * jnp.ones((1, SB))).ravel() * res_m],
                             axis=-1)
+        # jitter 1e-2 (relative to sill): smooth covariances sit at the
+        # edge of f32 Cholesky stability even for ring-sized conditioning
+        # sets; the resulting small noise floor acts like a nugget (failed
+        # factorizations are also caught by the non-finite guard below)
         draw, _, _ = conditional_gaussian_block(
             static.spec, block_xy, cond_xy, z_w.ravel(),
             cond_mask.ravel().astype(jnp.float32), consts.rot,
-            consts.sill, consts.nugget, consts.mean_z, noise)
+            consts.sill, consts.nugget, consts.mean_z, noise, jitter=1e-2)
         draw = draw.reshape(BMX, BMY)
 
         # scatter draws into the window at the block anchor
@@ -241,6 +245,11 @@ def make_sgs_kernel(static: SGSStatic):
         grounded_w = win(consts.grounded) > 0
         viol = jnp.any(((win(consts.surf) - full_new) <= 0.0)
                        & in_block & grounded_w)
+        # reject non-finite draws outright: a failed Cholesky (ill-
+        # conditioned covariance) must not leak NaNs into the state, where
+        # the nansum loss would silently drop those cells
+        viol = viol | jnp.any(~jnp.isfinite(
+            jnp.where(sim_mask, bed_new_w, 0.0)))
         loss_next = jnp.where(viol, jnp.inf, loss_next)
 
         # --- MH accept ------------------------------------------------------
@@ -252,11 +261,15 @@ def make_sgs_kernel(static: SGSStatic):
         def upd(a, w_new):
             return jax.lax.dynamic_update_slice(a, w_new, (sx, sy))
 
-        bed_out = jnp.where(accept, upd(state.bed, bed_new_w), state.bed)
-        res_out = jnp.where(accept, upd(state.mc_res, res_patched_w),
+        # never write a violating (possibly non-finite) proposal into the
+        # state, even on the measure-zero u==0 accept (safety deviation
+        # from the reference edge case)
+        write = accept & ~viol
+        bed_out = jnp.where(write, upd(state.bed, bed_new_w), state.bed)
+        res_out = jnp.where(write, upd(state.mc_res, res_patched_w),
                             state.mc_res)
         resampled_w = win(state.resampled) + in_block.astype(jnp.float32)
-        resampled_out = jnp.where(accept, upd(state.resampled, resampled_w),
+        resampled_out = jnp.where(write, upd(state.resampled, resampled_w),
                                   state.resampled)
 
         y = jnp.where(accept & ~viol, delta, 0.0) - state.loss_comp
@@ -374,7 +387,7 @@ class ChainSGS:
         self.sgs_params: Optional[SGSParams] = None
         self.block_min_x = self.block_max_x = None
         self.block_min_y = self.block_max_y = None
-        self.ring_width = 3
+        self.ring_width = 1
         self.sample_loc = None
         self._key = None
 
@@ -439,10 +452,12 @@ class ChainSGS:
             search_radius=sgs_searching_radius,
             rand_dropout_on=sgs_rand_dropout_on,
             dropout_rate=dropout_rate)
-        # conditioning ring sized so it covers at least the search radius
-        # influence at block scale, bounded for compile size
-        self.ring_width = int(min(4, max(2, sgs_searching_radius
-                                         / self.resolution / 8)))
+        # Conditioning uses a width-1 screening ring: for the smooth
+        # covariances in use the immediate boundary nearly fully screens the
+        # exterior, and small conditioning sets keep the f32 Cholesky well-
+        # conditioned (error ~ n*eps*lambda_max grows with ring size; a
+        # 4-wide ring of ~400 cells is numerically singular).  Raise
+        # ring_width explicitly only with rough covariances.
 
     def set_block_sizes(self, block_min_x, block_max_x, block_min_y,
                         block_max_y):

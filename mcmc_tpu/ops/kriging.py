@@ -118,6 +118,10 @@ def conditional_gaussian_block(spec: CovarianceSpec, block_xy, cond_xy,
         return covariance_norm(spec, jnp.sqrt(d2), sill, nugget)
 
     m = cond_mask.astype(tb.dtype)
+    # jitter scales with the sill: smooth covariances (gaussian / high-s
+    # matern) make S_cc numerically singular in f32 for dense conditioning
+    # sets; an absolute jitter is meaningless when sill >> 1
+    jitter = jitter * jnp.maximum(sill, 1.0)
     S_cc = cov(tc, tc) * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
     S_cc = S_cc + jitter * jnp.eye(tc.shape[0], dtype=tb.dtype)
     S_bc = cov(tb, tc) * m[None, :]

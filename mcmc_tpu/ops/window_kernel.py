@@ -73,11 +73,10 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
         del fields_in  # aliased with fields_out; all access goes through out
         i = pl.program_id(0)
         # alignment facts the host-side geometry guarantees (multiple_of
-        # lets Mosaic prove the DMA slice starts are tile-aligned)
-        sx = (pl.multiple_of(geom_ref[i, 0], 8) if SX != H
-              else geom_ref[i, 0])
-        sy = (pl.multiple_of(geom_ref[i, 1], 128) if SY != W
-              else geom_ref[i, 1])
+        # lets Mosaic prove the DMA slice starts are tile-aligned; full-dim
+        # windows always start at literal 0)
+        sx = pl.multiple_of(geom_ref[i, 0], 8) if SX != H else 0
+        sy = pl.multiple_of(geom_ref[i, 1], 128) if SY != W else 0
         shift_x = geom_ref[i, 2]
         shift_y = geom_ref[i, 3]
         bxmin = geom_ref[i, 4]

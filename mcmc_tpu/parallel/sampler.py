@@ -36,17 +36,23 @@ from .mesh import chains_mesh, replicate, shard_chains
 
 
 @partial(jax.jit, static_argnums=(0, 3, 4, 5))
-def run_chains(static: CRFStatic, consts: CRFConsts, states: ChainState,
-               n_steps: int, save_beds: bool = False, impl: str = "xla"):
+def run_chains(static, consts, states, n_steps: int, save_beds: bool = False,
+               impl: str = "xla"):
     """Advance a batch of chains ``n_steps`` MH steps under one scan.
 
-    states: ChainState with a leading chain axis on every leaf.
+    Works for both chain families: ``static`` is a CRFStatic or SGSStatic
+    (the matching step factory is selected by type).
+    states: batched chain state with a leading chain axis on every leaf.
     impl: "xla" (vmapped portable path) or "fused" (Pallas window kernel,
-    TPU only; numerically identical — tests/test_window_kernel.py).
+    CRF on TPU only; numerically identical — tests/test_window_kernel.py).
     Returns (final_states, traces) with traces time-major:
     each trace leaf has shape (n_steps, n_chains, ...).
     """
-    if impl == "fused":
+    from ..models.chain_sgs import SGSStatic, make_sgs_step
+
+    if isinstance(static, SGSStatic):
+        batched = jax.vmap(make_sgs_step(static), in_axes=(None, 0))
+    elif impl == "fused":
         from ..models.chain_crf import make_batched_step_fused
 
         batched = make_batched_step_fused(static)
@@ -54,10 +60,13 @@ def run_chains(static: CRFStatic, consts: CRFConsts, states: ChainState,
         step = make_step(static)
         batched = jax.vmap(step, in_axes=(None, 0))
 
+    is_sgs = isinstance(static, SGSStatic)
+
     def body(sts, _):
         sts, tr = batched(consts, sts)
         if save_beds:
-            tr = dict(tr, bed=sts.bed)
+            bed = sts.bed + consts.trend if is_sgs else sts.bed
+            tr = dict(tr, bed=bed)
         return sts, tr
 
     return jax.lax.scan(body, states, None, length=n_steps)
@@ -70,17 +79,21 @@ def init_states(initial_beds, keys, consts: CRFConsts) -> ChainState:
 
 
 class MultiChainSampler:
-    """Chain farm for the large-scale (CRF) chain.
+    """Chain farm for both chain families (large-scale CRF and small-scale
+    SGS chains).
 
-    Equivalent role to ``largeScaleChain_mp`` + ``lsc_run_wrapper``
-    (reference largeScaleChain_multiprocessing.py:19-240), minus the
-    pickling: the prototype chain's configuration is compiled once and the
-    batch axis carries per-chain state.
+    Equivalent role to ``largeScaleChain_mp`` / ``smallScaleChain_mp`` +
+    their run wrappers (reference largeScaleChain_multiprocessing.py:19-449),
+    minus the pickling: the prototype chain's configuration is compiled once
+    and the batch axis carries per-chain state.
     """
 
-    def __init__(self, chain: ChainCRF, n_chains: int, mesh=None,
+    def __init__(self, chain, n_chains: int, mesh=None,
                  use_mesh: bool = True, impl: str = "auto"):
+        from ..models.chain_sgs import ChainSGS
+
         self.chain = chain
+        self.is_sgs = isinstance(chain, ChainSGS)
         self.n_chains = int(n_chains)
         self.static, consts = chain.build()
         if mesh is None and use_mesh and len(jax.devices()) > 1:
@@ -95,12 +108,13 @@ class MultiChainSampler:
             # DMA-alignable window geometry
             from ..ops.window_kernel import fused_path_supported
 
-            impl = ("fused" if jax.devices()[0].platform == "tpu"
+            impl = ("fused" if not self.is_sgs
+                    and jax.devices()[0].platform == "tpu"
                     and mesh is None
                     and fused_path_supported(self.static.H, self.static.W,
                                              self.static.rf.B)
                     else "xla")
-        self.impl = impl
+        self.impl = "xla" if self.is_sgs else impl
 
     # -- state management ---------------------------------------------------
 
@@ -113,7 +127,12 @@ class MultiChainSampler:
         seeds: int master seed, list of per-chain ints, or None.
         """
         if initial_beds is None:
-            initial_beds = self.chain.initial_bed
+            initial_beds = (self.chain._initial_detrended if self.is_sgs
+                            else self.chain.initial_bed)
+        elif self.is_sgs:
+            # SGS state lives in detrended (and clamp-roundtripped) space;
+            # per-chain full-space beds are preprocessed like the builder's
+            initial_beds = self._preprocess_sgs_beds(initial_beds)
         initial_beds = np.asarray(initial_beds, np.float32)
         if initial_beds.ndim == 2:
             initial_beds = np.broadcast_to(
@@ -132,10 +151,36 @@ class MultiChainSampler:
         if self.mesh is not None:
             beds = shard_chains(beds, self.mesh)
             keys = shard_chains(keys, self.mesh)
-        states = init_states(beds, keys, self.consts)
+        if self.is_sgs:
+            from ..models.chain_sgs import sgs_init_state
+
+            states = jax.jit(jax.vmap(
+                lambda b, k: sgs_init_state(b, k, self.consts)))(beds, keys)
+        else:
+            states = init_states(beds, keys, self.consts)
         if self.mesh is not None:
             states = shard_chains(states, self.mesh)
         return states
+
+    def _preprocess_sgs_beds(self, initial_beds):
+        """Detrend (+ transform clamp roundtrip) per-chain full-space beds,
+        matching ChainSGS.build's initial-bed preprocessing."""
+        beds = np.asarray(initial_beds, np.float32)
+        if beds.ndim == 2:
+            beds = beds[None]
+        trend = (self.chain.trend if self.chain.detrend_map
+                 else np.zeros(beds.shape[-2:], np.float32))
+        out = beds - trend
+        if self.chain.do_transform:
+            nst = self.chain.nst_trans
+            from ..ops.transforms import NormalScoreTransform
+
+            if not isinstance(nst, NormalScoreTransform):
+                nst = NormalScoreTransform(
+                    quantiles=np.asarray(nst.quantiles_).ravel(),
+                    references=np.asarray(nst.references_).ravel())
+            out = np.asarray(nst.inverse(nst.transform(out)), np.float32)
+        return out if out.shape[0] > 1 else out[0]
 
     # -- execution ----------------------------------------------------------
 
@@ -162,7 +207,7 @@ class MultiChainSampler:
             "block": jnp.full((self.n_chains, 4), jnp.nan, jnp.float32),
             "samples": jax.vmap(
                 lambda b: b[self.consts.sample_ij[:, 0], self.consts.sample_ij[:, 1]]
-            )(states.bed),
+            )(states.bed + self.consts.trend if self.is_sgs else states.bed),
         }
         init_np = jax.tree.map(lambda x: np.asarray(x)[None], init_row)
 

@@ -63,6 +63,26 @@ class TestSGSChain:
                                             else 0.0)
                    ).astype(np.float32) != p["initial_bed"].astype(np.float32)
 
+    def test_smooth_matern_no_nan_leak(self):
+        """Smooth Matern covariance + large blocks: the Cholesky is at the
+        edge of f32 stability; draws must never leak NaN into the state and
+        the loss must stay consistent with the patched residual (regression
+        test for the NaN-acceptance bug found in examples/04)."""
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_sgs_chain(p, blocks=(5, 20))
+        chain.set_variogram("Matern", 10e3, 1.0, 0.0, vario_smoothness=1.2)
+        chain.set_sgs_param(48, 30e3)
+        out = chain.run(n_iter=100, seed=4)
+        final = out["final_state"]
+        assert np.isfinite(np.asarray(final.bed)).all()
+        assert np.isfinite(out["loss"]).all()
+        assert float(final.loss_mc) >= 0.0
+        recomputed = ref.masked_gaussian_loss(
+            np.asarray(final.mc_res), np.asarray(chain.mc_region_mask), 5.0)
+        np.testing.assert_allclose(float(final.loss_mc), recomputed,
+                                   rtol=2e-3, atol=1e-2)
+        assert 0.005 < out["steps"][1:].mean() <= 1.0
+
     def test_no_transform_no_detrend(self):
         p = make_synthetic_problem(H=64, W=64)
         chain = build_sgs_chain(p, do_transform=False, detrend=False)
