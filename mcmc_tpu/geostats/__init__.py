@@ -1,5 +1,7 @@
 from .sgs import sgs, krige, generate_initial_beds
 from .variogram import (
+    dists_to_cond,
+    gaussian_transformation,
     experimental_variogram,
     fit_model,
     fit_variogram,
@@ -8,6 +10,8 @@ from .variogram import (
 )
 
 __all__ = [
+    "dists_to_cond",
+    "gaussian_transformation",
     "sgs",
     "krige",
     "generate_initial_beds",

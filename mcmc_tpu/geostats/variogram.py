@@ -188,3 +188,30 @@ def variograms(xx, yy, grid, bin_func="even", maxlag=100e3, n_lags=70,
         coords = coords[::downsample]
     bins, gamma, _ = experimental_variogram(coords, vals, maxlag, n_lags)
     return ({m: fit_model(bins, gamma, m) for m in covmodels}, gamma, bins)
+
+
+def gaussian_transformation(grid, cond_msk=None, n_quantiles=500):
+    """Normal-score transform of a conditioning grid
+    (reference gstatsim_custom/utilities.py:7-26).
+
+    Returns (transformed grid with NaN off-mask, fitted transform).
+    """
+    grid = np.asarray(grid, float)
+    if cond_msk is None:
+        cond_msk = ~np.isnan(grid)
+    data = grid[cond_msk]
+    nst = NormalScoreTransform.fit(data, n_quantiles=min(n_quantiles,
+                                                         data.size))
+    out = np.full(grid.shape, np.nan)
+    out[cond_msk] = np.asarray(nst.transform(data))
+    return out, nst
+
+
+def dists_to_cond(xx, yy, grid):
+    """Minimum distance to conditioning data
+    (reference gstatsim_custom/utilities.py:28-48 — O(N^2) loops replaced
+    by an exact Euclidean distance transform)."""
+    from ..ops.distance import min_dist_from_mask
+
+    return min_dist_from_mask(np.asarray(xx), np.asarray(yy),
+                              ~np.isnan(np.asarray(grid)))

@@ -1,10 +1,12 @@
 from .randfield import (
+    RandField,
     RandFieldArrays,
     RandFieldStatic,
     build_randfield,
     draw_block,
     make_block_menu,
 )
+from .chain_sgs import ChainSGS, SGSState, SGSConsts, SGSStatic  # noqa: F401
 from .chain_crf import (
     ChainCRF,
     ChainState,
@@ -16,6 +18,7 @@ from .chain_crf import (
 )
 
 __all__ = [
+    "RandField",
     "RandFieldArrays",
     "RandFieldStatic",
     "build_randfield",
@@ -29,3 +32,5 @@ __all__ = [
     "make_step",
     "run_chain",
 ]
+
+__all__ += ["ChainSGS", "SGSState", "SGSConsts", "SGSStatic"]

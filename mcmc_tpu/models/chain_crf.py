@@ -64,21 +64,25 @@ class CRFStatic:
     n_region: int   # number of candidate block-center cells
     P: int          # number of probe points
     rf: RandFieldStatic
+    use_data_loss: bool = False  # Gaussian data-misfit term (the reference's
+    # designed-but-disabled diff_func machinery, MCMC.py:931-1018)
 
 
 @dataclasses.dataclass
 class CRFConsts:
     """Per-problem array constants (one copy, shared across chains)."""
 
-    # The 8 problem planes live STACKED in one (8, H, W) array: the hot loop
-    # gathers its local window with ONE batched dynamic_slice.  On TPU each
-    # vmapped dynamic-slice/scatter op costs ~1ms regardless of size (XLA
-    # lowers per-chain offsets to gather), so op COUNT is what matters.
-    # Plane order: surf, velx, vely, dhdt, smb, update_mask, mc_mask, crf_w.
-    stacked: jnp.ndarray       # (8, H, W) float32
+    # The 10 problem planes live STACKED in one (10, H, W) array: the hot
+    # loop gathers its local window with ONE batched dynamic_slice.  On TPU
+    # each vmapped dynamic-slice/scatter op costs ~1ms regardless of size
+    # (XLA lowers per-chain offsets to gather), so op COUNT is what matters.
+    # Plane order: surf, velx, vely, dhdt, smb, update_mask, mc_mask,
+    # crf_weight, cond_bed (NaN->0), data_loss_mask.
+    stacked: jnp.ndarray       # (10, H, W) float32
     region_cells: jnp.ndarray  # (n_region, 2) int32 candidate centers
     sample_ij: jnp.ndarray     # (P, 2) int32 probe cells
     sigma_mc: jnp.ndarray      # scalar
+    sigma_data: jnp.ndarray    # scalar (unused unless static.use_data_loss)
     resolution: jnp.ndarray    # scalar
     rf: RandFieldArrays
 
@@ -115,6 +119,14 @@ class CRFConsts:
     def crf_weight(self):
         return self.stacked[7]
 
+    @property
+    def cond_bed_filled(self):
+        return self.stacked[8]
+
+    @property
+    def data_loss_mask(self):
+        return self.stacked[9] > 0
+
 
 @dataclasses.dataclass
 class ChainState:
@@ -128,6 +140,8 @@ class ChainState:
     fields: jnp.ndarray     # (3, H, W): bed, mc_res, resampled
     loss_mc: jnp.ndarray    # scalar
     loss_comp: jnp.ndarray  # Kahan compensation
+    loss_data: jnp.ndarray  # scalar (0 unless use_data_loss)
+    loss_data_comp: jnp.ndarray
     key: jnp.ndarray
     accepted: jnp.ndarray   # int32
 
@@ -164,11 +178,16 @@ def init_state(bed, key, consts: CRFConsts) -> ChainState:
         consts.resolution,
     )
     loss_mc = masked_gaussian_loss(mc_res, consts.mc_mask, consts.sigma_mc)
+    data_diff = bed - consts.cond_bed_filled
+    loss_data = masked_gaussian_loss(data_diff, consts.data_loss_mask,
+                                     jnp.maximum(consts.sigma_data, 1e-9))
     fields = jnp.stack([bed, mc_res, jnp.zeros(bed.shape, jnp.float32)])
     return ChainState(
         fields=fields,
         loss_mc=jnp.float32(loss_mc),
         loss_comp=jnp.float32(0.0),
+        loss_data=jnp.float32(loss_data),
+        loss_data_comp=jnp.float32(0.0),
         key=key,
         accepted=jnp.int32(0),
     )
@@ -202,8 +221,9 @@ def make_kernel(static: CRFStatic):
         # ONE batched slice each for the 8 problem planes and 3 state planes
         # (each vmapped dynamic-slice op costs ~1ms on TPU regardless of
         # size, so everything windowed travels stacked)
-        cw = jax.lax.dynamic_slice(consts.stacked, (0, sx, sy), (8, S, S))
-        surf_w, velx_w, vely_w, dhdt_w, smb_w, upd_w, mcf_w, crfw_w = cw
+        cw = jax.lax.dynamic_slice(consts.stacked, (0, sx, sy), (10, S, S))
+        (surf_w, velx_w, vely_w, dhdt_w, smb_w, upd_w, mcf_w, crfw_w,
+         cond_w, dmask_w) = cw
         sw = jax.lax.dynamic_slice(state.fields, (0, sx, sy), (3, S, S))
         bed_w, res_old_w, resampled_w = sw
         mc_w = mcf_w > 0
@@ -232,14 +252,21 @@ def make_kernel(static: CRFStatic):
         patch = in_block & mc_w
         denom = 2.0 * jnp.square(consts.sigma_mc)
         delta = (masked_sq_sum(res_new_w, patch) - masked_sq_sum(res_old_w, patch)) / denom
-        loss_next = state.loss_mc + delta
+        if static.use_data_loss:
+            dpatch = in_block & (dmask_w > 0)
+            ddenom = 2.0 * jnp.square(consts.sigma_data)
+            delta_data = (masked_sq_sum(bed_new_w - cond_w, dpatch)
+                          - masked_sq_sum(bed_w - cond_w, dpatch)) / ddenom
+        else:
+            delta_data = jnp.float32(0.0)
+        loss_next = state.loss_mc + state.loss_data + delta + delta_data
 
         # --- thickness guard (reference MCMC.py:1320-1329) -------------------
         viol = jnp.any(((surf_w - bed_new_w) <= 0.0) & in_block & (upd_w > 0))
         loss_next = jnp.where(viol, jnp.inf, loss_next)
 
         # --- MH accept (reference MCMC.py:1331-1337) -------------------------
-        log_ratio = state.loss_mc - loss_next  # -delta (or -inf)
+        log_ratio = (state.loss_mc + state.loss_data) - loss_next
         rate = jnp.minimum(1.0, jnp.exp(log_ratio))
         accept = u <= rate
 
@@ -255,24 +282,29 @@ def make_kernel(static: CRFStatic):
                                                   (0, sx, sy))
 
         # Kahan-compensated loss accumulation (delta only applied on accept)
-        y = jnp.where(accept & ~viol, delta, 0.0) - state.loss_comp
+        ok = accept & ~viol
+        y = jnp.where(ok, delta, 0.0) - state.loss_comp
         t = state.loss_mc + y
         comp = (t - state.loss_mc) - y
-        loss_out = t
+        yd = jnp.where(ok, delta_data, 0.0) - state.loss_data_comp
+        td = state.loss_data + yd
+        comp_d = (td - state.loss_data) - yd
 
         new_state = ChainState(
             fields=fields_out,
-            loss_mc=loss_out,
+            loss_mc=t,
             loss_comp=comp,
+            loss_data=td,
+            loss_data_comp=comp_d,
             key=key,
             accepted=state.accepted + accept.astype(jnp.int32),
         )
 
         samples = fields_out[0, consts.sample_ij[:, 0], consts.sample_ij[:, 1]]
         trace = {
-            "loss_mc": loss_out,
-            "loss_data": jnp.float32(0.0),
-            "loss": loss_out,
+            "loss_mc": t,
+            "loss_data": td,
+            "loss": t + td,
             "step": accept,
             "block": jnp.stack([cx, cy, h, w]).astype(jnp.float32),
             "samples": samples,
@@ -314,7 +346,8 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
 
     H, W, B = static.H, static.W, static.rf.B
     SX, SY = fused_window_sizes(H, W, B)
-    fused = make_fused_window_update(H, W, B, interpret=interpret)
+    fused = make_fused_window_update(H, W, B, interpret=interpret,
+                                     use_data_loss=static.use_data_loss)
 
     def step(consts: CRFConsts, states: ChainState):
         def draws(key):
@@ -354,25 +387,31 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
                           bymax], axis=1).astype(jnp.int32)
         n = states.fields.shape[0]
         fvals = jnp.stack([
-            u, states.loss_mc,
+            u, states.loss_mc + states.loss_data,
             jnp.broadcast_to(consts.sigma_mc, (n,)),
             jnp.broadcast_to(consts.resolution, (n,)),
+            jnp.broadcast_to(consts.sigma_data, (n,)),
         ], axis=1).astype(jnp.float32)
 
-        fields_out, acc_f, delta = fused(consts.stacked, states.fields, f,
-                                         geom, fvals)
+        fields_out, acc_f, delta, delta_data = fused(
+            consts.stacked, states.fields, f, geom, fvals)
         accept = acc_f > 0
 
-        # Kahan-compensated loss accumulation (delta pre-zeroed by the
+        # Kahan-compensated loss accumulation (deltas pre-zeroed by the
         # kernel unless accept & ~viol)
         y = delta - states.loss_comp
         t = states.loss_mc + y
         comp = (t - states.loss_mc) - y
+        yd = delta_data - states.loss_data_comp
+        td = states.loss_data + yd
+        comp_d = (td - states.loss_data) - yd
 
         new_states = ChainState(
             fields=fields_out,
             loss_mc=t,
             loss_comp=comp,
+            loss_data=td,
+            loss_data_comp=comp_d,
             key=key,
             accepted=states.accepted + accept.astype(jnp.int32),
         )
@@ -383,8 +422,8 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
             samples = jnp.zeros((n, 0), jnp.float32)
         trace = {
             "loss_mc": t,
-            "loss_data": jnp.zeros((n,), jnp.float32),
-            "loss": t,
+            "loss_data": td,
+            "loss": t + td,
             "step": accept,
             "block": jnp.stack([cx, cy, h, w], axis=1).astype(jnp.float32),
             "samples": samples,
@@ -466,6 +505,9 @@ class ChainCRF:
         self.crf_data_weight = None
         self.sample_loc = None
         self.sigma_mc = None
+        self.sigma_data = 1.0
+        self.use_data_loss = False
+        self.data_region_mask = np.ones(self.xx.shape, np.float32)
         self._key = None
         self._rf_cfg = None
         self._block_cfg = None
@@ -485,11 +527,38 @@ class ChainCRF:
                     "array with the shape of the map")
             self.region_mask = region_mask.astype(np.float32)
 
-    def set_loss_type(self, sigma_mc=-1, massConvInRegion=True):
-        cfg = LossConfig(sigma_mc=sigma_mc, mass_conv_in_region=massConvInRegion)
+    def set_loss_type(self, sigma_mc=-1, massConvInRegion=True,
+                      diff_func=None, sigma_data=-1,
+                      dataDiffInRegion=False):
+        """Configure the loss.
+
+        The reference hardwires the Gaussian sum-square mass-conservation
+        loss and ships the generalized map_func/diff_func machinery
+        commented out (MCMC.py:929-1018).  Here the data-misfit term is
+        functional: ``diff_func='sumsquare'`` adds a Gaussian radar-misfit
+        likelihood sum((bed - cond_bed)^2)/(2*sigma_data^2) over data cells
+        (optionally restricted to the region).
+        """
+        cfg = LossConfig(sigma_mc=sigma_mc, mass_conv_in_region=massConvInRegion,
+                         sigma_data=sigma_data)
         self.sigma_mc = cfg.sigma_mc
         self.mc_region_mask = (self.region_mask if massConvInRegion
                                else np.ones(self.xx.shape, np.float32))
+        if diff_func is None:
+            self.use_data_loss = False
+            self.sigma_data = 1.0
+        elif diff_func == "sumsquare":
+            if sigma_data <= 0:
+                raise ValueError(
+                    "please make sure sigma is correctly set for sigma_data")
+            self.use_data_loss = True
+            self.sigma_data = float(sigma_data)
+            self.data_region_mask = (self.region_mask if dataDiffInRegion
+                                     else np.ones(self.xx.shape, np.float32))
+        else:
+            raise ValueError(
+                "diff_func must be None or 'sumsquare' (the reference's other "
+                "aggregators are dead code, MCMC.py:986-1012)")
 
     def set_update_type(self, block_type):
         if block_type not in ("CRF_weight", "RF", "CRF_rbf"):
@@ -574,18 +643,31 @@ class ChainCRF:
 
         sample_ij = self._sample_ij()
         static = CRFStatic(H=H, W=W, S=S, n_region=int(region.shape[0]),
-                           P=int(sample_ij.shape[0]), rf=rf_static)
+                           P=int(sample_ij.shape[0]), rf=rf_static,
+                           use_data_loss=bool(self.use_data_loss))
+        cond_filled = np.nan_to_num(self.cond_bed, nan=0.0)
+        if self.use_data_loss:
+            data_loss_mask = (np.asarray(self.data_mask, bool)
+                              & np.isfinite(self.cond_bed)
+                              & (self.data_region_mask > 0))
+        else:
+            # all-zero mask => loss_data identically 0 everywhere (init and
+            # deltas), matching the reference's loss_data = 0 (MCMC.py:1042)
+            data_loss_mask = np.zeros(self.xx.shape, bool)
         stacked = np.stack([
             self.surf, self.velx, self.vely, self.dhdt, self.smb,
             np.asarray(update_mask, np.float32),
             np.asarray(self.mc_region_mask == 1, np.float32),
             np.asarray(crf_weight, np.float32),
+            np.asarray(cond_filled, np.float32),
+            np.asarray(data_loss_mask, np.float32),
         ]).astype(np.float32)
         consts = CRFConsts(
             stacked=jnp.asarray(stacked),
             region_cells=jnp.asarray(region, jnp.int32),
             sample_ij=jnp.asarray(sample_ij, jnp.int32),
             sigma_mc=jnp.float32(self.sigma_mc),
+            sigma_data=jnp.float32(self.sigma_data),
             resolution=jnp.float32(self.resolution),
             rf=rf_arrays,
         )

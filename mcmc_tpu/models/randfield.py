@@ -148,3 +148,137 @@ def draw_block(key, static: RandFieldStatic, arrays: RandFieldArrays):
     f = (f * scale + nugget_noise) * block_mask.astype(jnp.float32)
     f = f * arrays.edge_masks[size_idx]
     return f, size_idx, w, h
+
+
+class RandField:
+    """Reference-API wrapper over the functional proposal engine.
+
+    Mirrors the reference ``RandField`` class surface (MCMC.py:433-778):
+    constructor + set_generation_method / set_block_sizes / set_weight_param
+    setters, CRF-weight helpers, and host-callable field/block draws.  The
+    chain hot path uses the compiled ``draw_block`` directly; this class is
+    for interactive/setup use and for porting reference scripts verbatim.
+    """
+
+    def __init__(self, range_min_x, range_max_x, range_min_y, range_max_y,
+                 scale_min, scale_max, nugget_max, model_name, isotropic,
+                 smoothness=None, rng_seed=None):
+        from ..utils.config import RandFieldConfig
+        from ..utils.rng import as_key
+
+        self.config = RandFieldConfig(
+            range_min_x=range_min_x, range_max_x=range_max_x,
+            range_min_y=range_min_y, range_max_y=range_max_y,
+            scale_min=scale_min, scale_max=scale_max, nugget_max=nugget_max,
+            model_name=model_name, isotropic=isotropic, smoothness=smoothness)
+        self._key = as_key(rng_seed)
+        self._blocks = None
+        self._weights = None
+        self._built = None
+
+    def set_generation_method(self, spectral):
+        if not spectral:
+            raise NotImplementedError(
+                "gstools-SRF generation is host-only in the reference; the "
+                "TPU path is spectral synthesis (production drivers use "
+                "spectral=True, largeScaleChain_multiprocessing.py:588)")
+
+    def set_block_sizes(self, min_block_x, max_block_x, min_block_y,
+                        max_block_y, steps=5):
+        from ..utils.config import BlockMenuConfig
+
+        self._blocks = BlockMenuConfig(min_block_x, max_block_x, min_block_y,
+                                       max_block_y, steps)
+        self._built = None
+
+    def set_weight_param(self, logis_func_L, logis_func_x0, logis_func_k,
+                         logis_func_offset, max_dist, resolution):
+        from ..utils.config import WeightConfig
+
+        if self._blocks is None:
+            raise Exception(
+                "It seems like the set_block_sizes has not been called yet "
+                "before calling set_weight_param")
+        self._weights = WeightConfig(logis_func_L, logis_func_x0,
+                                     logis_func_k, logis_func_offset,
+                                     max_dist, resolution)
+        self._built = None
+
+    # -- derived artifacts ---------------------------------------------------
+
+    def _ensure_built(self):
+        if self._built is None:
+            if self._blocks is None or self._weights is None:
+                raise Exception(
+                    "call set_block_sizes and set_weight_param first")
+            self._built = build_randfield(self.config, self._blocks,
+                                          self._weights)
+        return self._built
+
+    @property
+    def pairs(self):
+        return np.asarray(self._ensure_built()[1].pairs)
+
+    def get_block_sizes(self):
+        return make_block_menu(self._blocks)
+
+    def get_edge_masks(self):
+        static, arrays = self._ensure_built()
+        masks = np.asarray(arrays.edge_masks)
+        pairs = np.asarray(arrays.pairs)
+        return [masks[i, :pairs[1, i], :pairs[0, i]]
+                for i in range(pairs.shape[1])]
+
+    def get_crf_weight(self, xx, yy, cond_data_mask):
+        from ..ops.distance import min_dist_from_mask
+        from ..ops.logistic import crf_weight_from_dist
+
+        wc = self._weights
+        dist = min_dist_from_mask(np.asarray(xx), np.asarray(yy),
+                                  np.asarray(cond_data_mask) == 1)
+        w, dr, dl = crf_weight_from_dist(dist, wc.L, wc.x0, wc.k, wc.offset,
+                                         wc.max_dist)
+        return np.asarray(w), dist, np.asarray(dr), np.asarray(dl)
+
+    def get_crf_weight_from_dist(self, xx, yy, dist):
+        from ..ops.logistic import crf_weight_from_dist
+
+        wc = self._weights
+        w, dr, dl = crf_weight_from_dist(np.asarray(dist), wc.L, wc.x0, wc.k,
+                                         wc.offset, wc.max_dist)
+        return np.asarray(w), np.asarray(dist), np.asarray(dr), np.asarray(dl)
+
+    def get_random_field(self, X, Y, n=1):
+        """Spectral field realizations on an (len(Y), len(X)) grid.
+
+        Note: the reference allocates n fields but returns only the first
+        (quirk, MCMC.py:678-687); here n fields are returned when n > 1.
+        """
+        from ..ops.spectral import (sample_field_params, spectral_field,
+                                    standardize_masked)
+
+        res = float(abs(np.asarray(X)[1] - np.asarray(X)[0])) if len(X) > 1 else 1.0
+        shape = (len(Y), len(X))
+        cfg = self.config
+        out = []
+        for _ in range(int(n)):
+            self._key, k1, k2, k3 = jax.random.split(self._key, 4)
+            scale, nug, rx, ry = sample_field_params(
+                k1, cfg.scale_min, cfg.scale_max, cfg.nugget_max,
+                cfg.range_min_x, cfg.range_max_x, cfg.range_min_y,
+                cfg.range_max_y, cfg.isotropic)
+            raw = spectral_field(k2, shape, res, cfg.model_name, rx, ry,
+                                 cfg.smoothness)
+            f = standardize_masked(raw, jnp.ones(shape, bool))
+            f = f * scale + jax.random.normal(k3, shape) * jnp.sqrt(nug)
+            out.append(np.asarray(f))
+        return out[0] if n == 1 else np.stack(out)
+
+    def get_rfblock(self):
+        """One edge-masked proposal block (host convenience; the chain uses
+        the compiled path)."""
+        static, arrays = self._ensure_built()
+        self._key, k = jax.random.split(self._key)
+        f, size_idx, w, h = jax.jit(
+            lambda kk: draw_block(kk, static, arrays))(k)
+        return np.asarray(f)[: int(h), : int(w)]

@@ -142,3 +142,36 @@ def conditional_gaussian_block(spec: CovarianceSpec, block_xy, cond_xy,
     L = jnp.linalg.cholesky(S_cond)
     draw = mean + L @ noise
     return draw, mean, jnp.diagonal(S_cond)
+
+
+def sk_weights_masked(spec: CovarianceSpec, target_xy, coords, mask,
+                      rotation_matrix, sill, nugget, jitter=1e-6):
+    """Simple-kriging weights for reuse (the reference's ``precompute=True``
+    mode, _krige.py:77-78, backing parallel.get_weights at parallel.py:79-179).
+    Returns (weights (k,), var)."""
+    sigma, rho = _masked_system(spec, coords, mask, target_xy,
+                                rotation_matrix, sill, nugget)
+    k = coords.shape[0]
+    sigma = sigma + jitter * jnp.eye(k, dtype=sigma.dtype)
+    w = jnp.linalg.solve(sigma, rho)
+    return w, sill - jnp.sum(w * rho)
+
+
+def ok_weights_masked(spec: CovarianceSpec, target_xy, coords, mask,
+                      rotation_matrix, sill, nugget, jitter=1e-6):
+    """Ordinary-kriging weights for reuse (reference _krige.py:40-41).
+    Returns (weights (k,) incl. masked slots, var); the Lagrange multiplier
+    is dropped like the reference."""
+    k = coords.shape[0]
+    sigma, rho = _masked_system(spec, coords, mask, target_xy,
+                                rotation_matrix, sill, nugget)
+    m = mask.astype(sigma.dtype)
+    A = jnp.zeros((k + 1, k + 1), dtype=sigma.dtype)
+    A = A.at[:k, :k].set(sigma + jitter * jnp.eye(k, dtype=sigma.dtype))
+    A = A.at[k, :k].set(m)
+    A = A.at[:k, k].set(m)
+    n_valid = jnp.sum(m)
+    A = A.at[k, k].set(jnp.where(n_valid > 0, 0.0, 1.0))
+    b = jnp.concatenate([rho, jnp.where(n_valid > 0, 1.0, 0.0)[None]])
+    w = jnp.linalg.solve(A, b)
+    return w[:k], sill - jnp.sum(w[:k] * rho)

@@ -52,23 +52,25 @@ def fused_path_supported(H: int, W: int, B: int) -> bool:
     return ok_rows and ok_cols
 
 
-def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
+def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
+                             use_data_loss: bool = False):
     """Build the fused window-update op.
 
-    Returns fn(consts_stacked (8,H,W), fields (N,3,H,W), fcan (N,B,B),
-               geom (N,8) int32, fvals (N,4) f32) ->
-               (fields' (N,3,H,W), accept (N,) f32, delta (N,) f32)
+    Returns fn(consts_stacked (10,H,W), fields (N,3,H,W), fcan (N,B,B),
+               geom (N,8) int32, fvals (N,5) f32) ->
+               (fields' (N,3,H,W), accept (N,), delta (N,), delta_data (N,))
 
     geom rows: [sx, sy, shift_x, shift_y, bxmin, bxmax, bymin, bymax] where
     (sx, sy) are ALIGNED window starts and shift_* the circular-roll
-    placement of the proposal canvas.  fvals rows: [u, loss_prev, sigma_mc,
-    resolution].  fields planes: bed, mc_res, resampled; consts planes:
-    surf, velx, vely, dhdt, smb, update_mask, mc_mask, crf_weight.
+    placement of the proposal canvas.  fvals rows: [u, loss_prev(total),
+    sigma_mc, resolution, sigma_data].  fields planes: bed, mc_res,
+    resampled; consts planes: surf, velx, vely, dhdt, smb, update_mask,
+    mc_mask, crf_weight, cond_bed, data_loss_mask.
     """
     SX, SY = fused_window_sizes(H, W, B)
 
     def kernel(geom_ref, fvals_ref, cons_hbm, fields_in, fcan_ref, fields_out,
-               acc_ref, delta_ref,
+               acc_ref, delta_ref, ddata_ref,
                cons_vmem, st_vmem, new_vmem, sems):
         del fields_in  # aliased with fields_out; all access goes through out
         i = pl.program_id(0)
@@ -87,6 +89,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
         loss_prev = fvals_ref[i, 1]
         sigma = fvals_ref[i, 2]
         resolution = fvals_ref[i, 3]
+        sigma_data = fvals_ref[i, 4]
 
         cdma = pltpu.make_async_copy(
             cons_hbm.at[:, pl.ds(sx, SX), pl.ds(sy, SY)], cons_vmem,
@@ -117,6 +120,8 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
         upd_w = cons_vmem[5]
         mcf_w = cons_vmem[6]
         crfw_w = cons_vmem[7]
+        cond_w = cons_vmem[8]
+        dmask_w = cons_vmem[9]
         bed_w = st_vmem[0]
         res_old_w = st_vmem[1]
         resampled_w = st_vmem[2]
@@ -156,7 +161,15 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
         denom = 2.0 * sigma * sigma
         delta = (jnp.sum(jnp.where(patch, nansq(res_new_w), 0.0))
                  - jnp.sum(jnp.where(patch, nansq(res_old_w), 0.0))) / denom
-        loss_next = loss_prev + delta
+        if use_data_loss:
+            dpatch = in_block & (dmask_w > 0)
+            ddenom = 2.0 * sigma_data * sigma_data
+            delta_data = (jnp.sum(jnp.where(dpatch, nansq(bed_new_w - cond_w), 0.0))
+                          - jnp.sum(jnp.where(dpatch, nansq(bed_w - cond_w), 0.0))
+                          ) / ddenom
+        else:
+            delta_data = jnp.float32(0.0)
+        loss_next = loss_prev + delta + delta_data
 
         viol = jnp.any(((surf_w - bed_new_w) <= 0.0) & in_block & (upd_w > 0))
         loss_next = jnp.where(viol, jnp.inf, loss_next)
@@ -166,6 +179,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
 
         acc_ref[i, 0] = accept.astype(jnp.float32)
         delta_ref[i, 0] = jnp.where(accept & ~viol, delta, 0.0)
+        ddata_ref[i, 0] = jnp.where(accept & ~viol, delta_data, 0.0)
 
         @pl.when(accept)
         def _():
@@ -193,19 +207,21 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
                 pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
                 pl.BlockSpec(memory_space=pltpu.SMEM),    # accept (N,1)
                 pl.BlockSpec(memory_space=pltpu.SMEM),    # delta (N,1)
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # delta_data (N,1)
             ],
             scratch_shapes=[
-                pltpu.VMEM((8, SX, SY), jnp.float32),
+                pltpu.VMEM((10, SX, SY), jnp.float32),
                 pltpu.VMEM((3, SX, SY), jnp.float32),
                 pltpu.VMEM((3, SX, SY), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
         )
-        fields_out, acc, delta = pl.pallas_call(
+        fields_out, acc, delta, ddata = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(fields.shape, fields.dtype),
+                jax.ShapeDtypeStruct((N, 1), jnp.float32),
                 jax.ShapeDtypeStruct((N, 1), jnp.float32),
                 jax.ShapeDtypeStruct((N, 1), jnp.float32),
             ],
@@ -214,6 +230,6 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False):
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(geom, fvals, consts_stacked, fields, fcan)
-        return fields_out, acc[:, 0], delta[:, 0]
+        return fields_out, acc[:, 0], delta[:, 0], ddata[:, 0]
 
     return fn
