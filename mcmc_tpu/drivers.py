@@ -122,3 +122,37 @@ def iteration_batches(n_iter: int, batch: int = 10_000, tail_batches: int = 9):
 # reference-name aliases
 largeScaleChain_mp = large_scale_chain_farm
 smallScaleChain_mp = small_scale_chain_farm
+
+
+def chain_snapshot(chain) -> dict:
+    """Parameter snapshot of a configured chain builder.
+
+    Role of the reference's ``__dict__`` pickling for pool workers
+    (largeScaleChain_multiprocessing.py:44-70) and the rebuild helpers
+    ``init_lsc_chain_by_instance`` / ``init_msc_chain_by_instance``
+    (MCMC.py:359-430).  Everything in the snapshot is plain numpy /
+    python, so it pickles/serializes cleanly.
+    """
+    import copy
+
+    out = {"__class__": type(chain).__name__}
+    for k, v in vars(chain).items():
+        if k.startswith("_key"):
+            continue
+        out[k] = copy.deepcopy(v)
+    return out
+
+
+def chain_from_snapshot(snap: dict):
+    """Rebuild a chain builder from ``chain_snapshot`` output."""
+    from .models.chain_crf import ChainCRF
+    from .models.chain_sgs import ChainSGS
+
+    cls = {"ChainCRF": ChainCRF, "ChainSGS": ChainSGS}[snap["__class__"]]
+    obj = cls.__new__(cls)
+    for k, v in snap.items():
+        if k == "__class__":
+            continue
+        setattr(obj, k, v)
+    obj._key = None
+    return obj

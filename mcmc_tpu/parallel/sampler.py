@@ -190,13 +190,23 @@ class MultiChainSampler:
 
     def run(self, states: ChainState, n_iter: int, segment_size: int = 2000,
             progress: bool = True,
-            segment_callback: Optional[Callable] = None):
+            segment_callback: Optional[Callable] = None,
+            collect_beds: bool = False, fancy_progress: bool = False,
+            profile_dir: Optional[str] = None):
         """Run ``n_iter`` iterations in compiled segments.
 
         Iteration 0 records the initial state (reference loop semantics);
         ``segment_callback(cumulative_iter, states, traces_np)`` fires after
         each segment (checkpointing hook).  Returns (states, traces) with
         chain-major numpy traces of length n_iter (index 0 = initial).
+
+        collect_beds: additionally record each chain's bed at segment
+        boundaries into traces['bed_thin'] (n_chains, n_segments, H, W) —
+        the thinned-trace replacement for the reference's memory-prohibitive
+        (n_iter, H, W) bed cache (only_save_last_bed, SURVEY.md §5.7).
+        fancy_progress: per-chain in-place ANSI progress block (the
+        reference's multi-chain renderer) instead of one status line.
+        profile_dir: capture a jax.profiler trace of the second segment.
         """
         n_iter = int(n_iter)
         init_row = {
@@ -212,15 +222,27 @@ class MultiChainSampler:
         init_np = jax.tree.map(lambda x: np.asarray(x)[None], init_row)
 
         collected = []
+        bed_snaps = []
+        renderer = None
+        if fancy_progress and progress:
+            from ..utils.progress import MultiChainProgress
+
+            renderer = MultiChainProgress(self.n_chains, n_iter)
         remaining = n_iter - 1
         done = 1
         first = True
+        seg_index = 0
         t0 = time.time()
         while remaining > 0 or first:
             n = min(segment_size, remaining)
             if n > 0:
+                profiling = profile_dir is not None and seg_index == 1
+                if profiling:
+                    jax.profiler.start_trace(profile_dir)
                 states, traces = self.run_segment(states, n)
                 traces_np = jax.tree.map(np.asarray, traces)
+                if profiling:
+                    jax.profiler.stop_trace()
             else:
                 traces_np = jax.tree.map(lambda x: x[:0], init_np)
             if first:
@@ -231,9 +253,16 @@ class MultiChainSampler:
                     init_np, traces_np)
                 first = False
             collected.append(traces_np)
+            if collect_beds:
+                bed = states.bed + self.consts.trend if self.is_sgs else states.bed
+                bed_snaps.append(np.asarray(bed))
             remaining -= n
             done += n
-            if progress:
+            seg_index += 1
+            if renderer is not None:
+                renderer.update(done, np.asarray(states.loss_mc),
+                                np.asarray(states.accepted) / max(done - 1, 1))
+            elif progress:
                 dt = time.time() - t0
                 rate = (done - 1) * self.n_chains / max(dt, 1e-9)
                 print(f"[sampler] iter {done}/{n_iter} | "
@@ -248,6 +277,8 @@ class MultiChainSampler:
         for k in collected[0]:
             cat = np.concatenate([c[k] for c in collected], axis=0)
             traces[k] = np.moveaxis(cat, 0, 1)  # chain-major
+        if collect_beds and bed_snaps:
+            traces["bed_thin"] = np.stack(bed_snaps, axis=1)
         return states, traces
 
     # -- diagnostics --------------------------------------------------------
