@@ -2,6 +2,7 @@ from .mesh import chains_mesh, chains_grid_mesh, shard_chains, replicate
 from .sampler import MultiChainSampler, run_chains, init_states
 from .diagnostics import split_rhat, ess, acceptance_rate
 from .grid_sharded import (
+    make_sharded_crf_chain,
     make_sharded_residual,
     make_sharded_loss,
     shard_grid_arrays,
@@ -18,6 +19,7 @@ __all__ = [
     "split_rhat",
     "ess",
     "acceptance_rate",
+    "make_sharded_crf_chain",
     "make_sharded_residual",
     "make_sharded_loss",
     "shard_grid_arrays",

@@ -118,3 +118,50 @@ class TestGridSharding:
         got = float(f(sharded["res"], sharded["mask"], jnp.float32(5.0)))
         want = ref.masked_gaussian_loss(res.astype(np.float64), mask, 5.0)
         assert got == pytest.approx(want, rel=1e-4)
+
+
+class TestGridShardedChain:
+    def test_sharded_chain_matches_single_shard(self):
+        """4-way row-sharded single-chain CRF == 1-shard run (same keys):
+        validates halo exchange, psum loss, and replicated proposals."""
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from mcmc_tpu.parallel.grid_sharded import (make_sharded_crf_chain,
+                                                    shard_grid_arrays)
+        from tests.test_chain_crf import build_small_chain
+
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        static, consts = chain.build()
+
+        def run_with(n_shards):
+            import numpy as _np
+
+            mesh = Mesh(_np.asarray(jax.devices()[:n_shards]), ("grid",))
+            planes = dict(
+                surf=np.asarray(consts.surf), velx=np.asarray(consts.velx),
+                vely=np.asarray(consts.vely), dhdt=np.asarray(consts.dhdt),
+                smb=np.asarray(consts.smb),
+                update_mask=np.asarray(consts.update_mask),
+                mc_mask=np.asarray(consts.stacked[6]),
+                crf_weight=np.asarray(consts.crf_weight))
+            sharded = shard_grid_arrays(mesh, planes)
+            sharded["rf"] = consts.rf
+            sharded["region_cells"] = consts.region_cells
+            sharded["sigma_mc"] = consts.sigma_mc
+            sharded["resolution"] = consts.resolution
+            bed = jax.device_put(
+                jnp.asarray(p["initial_bed"], jnp.float32),
+                NamedSharding(mesh, P("grid", None)))
+            run = make_sharded_crf_chain(mesh, static)
+            bed_f, losses, steps = run(bed, sharded, jax.random.key(7), 40)
+            return (np.asarray(bed_f), np.asarray(losses), np.asarray(steps))
+
+        bed4, loss4, steps4 = run_with(4)
+        bed1, loss1, steps1 = run_with(1)
+        np.testing.assert_array_equal(steps4, steps1)
+        np.testing.assert_allclose(loss4, loss1, rtol=1e-5)
+        np.testing.assert_allclose(bed4, bed1, rtol=1e-5, atol=1e-3)
+        # the chain actually moved
+        assert steps4.sum() > 0
+        assert not np.array_equal(bed4, p["initial_bed"].astype(np.float32))
