@@ -46,6 +46,7 @@ class RandFieldStatic:
     n_sizes: int
     B: int  # padded canvas size >= max block dim
     resolution: float
+    has_nugget: bool = True
 
 
 @dataclasses.dataclass
@@ -99,6 +100,7 @@ def build_randfield(rf_cfg: RandFieldConfig, blocks: BlockMenuConfig,
         n_sizes=n_sizes,
         B=B,
         resolution=weights.resolution,
+        has_nugget=rf_cfg.nugget_max > 0,
     )
     arrays = RandFieldArrays(
         pairs=jnp.asarray(pairs, jnp.int32),
@@ -144,8 +146,11 @@ def draw_block(key, static: RandFieldStatic, arrays: RandFieldArrays):
     block_mask = (bi < h) & (bj < w)
 
     f = standardize_masked(raw, block_mask)
-    nugget_noise = jax.random.normal(k_nug, (B, B)) * jnp.sqrt(nug)
-    f = (f * scale + nugget_noise) * block_mask.astype(jnp.float32)
+    if static.has_nugget:
+        nugget_noise = jax.random.normal(k_nug, (B, B)) * jnp.sqrt(nug)
+        f = (f * scale + nugget_noise) * block_mask.astype(jnp.float32)
+    else:
+        f = f * scale * block_mask.astype(jnp.float32)
     f = f * arrays.edge_masks[size_idx]
     return f, size_idx, w, h
 

@@ -28,10 +28,12 @@ Reference quirks reproduced exactly:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def sample_field_params(key, scale_min, scale_max, nugget_max,
@@ -75,26 +77,51 @@ def spectral_density(model_name: str, k, range_x, range_y, smoothness):
     return constant * (kappa + 4.0 * math.pi * jnp.square(k)) ** (-nu - 1.0)
 
 
-def _freq_grid(shape, res):
+@functools.lru_cache(maxsize=32)
+def _freq_grid_np(shape, res):
+    """Angular wavenumber magnitude on the full fft grid (host-cached)."""
     ny, nx = shape
-    kx = jnp.fft.fftfreq(nx, d=res) * 2.0 * jnp.pi
-    ky = jnp.fft.fftfreq(ny, d=res) * 2.0 * jnp.pi
-    kyv, kxv = jnp.meshgrid(ky, kx, indexing="ij")
-    return jnp.sqrt(jnp.square(kxv) + jnp.square(kyv)) + 1e-10
+    kx = np.fft.fftfreq(nx, d=res) * 2.0 * np.pi
+    ky = np.fft.fftfreq(ny, d=res) * 2.0 * np.pi
+    kyv, kxv = np.meshgrid(ky, kx, indexing="ij")
+    return (np.sqrt(np.square(kxv) + np.square(kyv)) + 1e-10).astype(np.float32)
 
 
-def spectral_field(key, shape, res, model_name: str, range_x, range_y, smoothness):
+@functools.lru_cache(maxsize=32)
+def _rfreq_grid_np(shape, res):
+    """Wavenumber magnitude on the half (rfft) grid (host-cached)."""
+    ny, nx = shape
+    kx = np.fft.rfftfreq(nx, d=res) * 2.0 * np.pi
+    ky = np.fft.fftfreq(ny, d=res) * 2.0 * np.pi
+    kxv, kyv = np.meshgrid(kx, ky, indexing="xy")
+    return (np.sqrt(np.square(kxv) + np.square(kyv)) + 1e-10).astype(np.float32)
+
+
+def _freq_grid(shape, res):
+    return jnp.asarray(_freq_grid_np(tuple(shape), float(res)))
+
+
+def spectral_field(key, shape, res, model_name: str, range_x, range_y,
+                   smoothness):
     """One raw (unit-ish) field realization of static ``shape`` = (ny, nx).
 
-    Returns the real part of ifft2(noise * sqrt(S)) — NOT standardized or
-    scaled; callers standardize over the active block mask and apply
-    scale/nugget (see models.randfield.draw_block).
+    Uses the half-spectrum form ``irfft2(noise_half * sqrt(S_half))`` —
+    the hermitian completion of complex white noise — which is
+    distributionally identical to the reference's full
+    ``ifft2(noise * sqrt(S)).real`` (MCMC.py:242-247) at half the RNG and
+    FFT cost (the exact normalization difference is irrelevant because the
+    caller standardizes the field to unit variance, MCMC.py:248).
+
+    NOT standardized or scaled; callers standardize over the active block
+    mask and apply scale/nugget (see models.randfield.draw_block).
     """
-    k = _freq_grid(shape, res)
-    s_dens = spectral_density(model_name, k, range_x, range_y, smoothness)
+    kh = jnp.asarray(_rfreq_grid_np(tuple(shape), float(res)))
+    s_dens = spectral_density(model_name, kh, range_x, range_y, smoothness)
     kr, ki = jax.random.split(key)
-    noise = (jax.random.normal(kr, shape) + 1j * jax.random.normal(ki, shape))
-    field = jnp.fft.ifft2(noise * jnp.sqrt(s_dens.astype(jnp.complex64))).real
+    noise = (jax.random.normal(kr, kh.shape)
+             + 1j * jax.random.normal(ki, kh.shape))
+    spec = noise * jnp.sqrt(s_dens).astype(jnp.complex64)
+    field = jnp.fft.irfft2(spec, s=tuple(shape))
     return field.astype(jnp.float32)
 
 
