@@ -165,3 +165,28 @@ class TestGridShardedChain:
         # the chain actually moved
         assert steps4.sum() > 0
         assert not np.array_equal(bed4, p["initial_bed"].astype(np.float32))
+
+
+class TestSamplerExtras:
+    def test_collect_beds_thinning(self):
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        s = MultiChainSampler(chain, n_chains=2, use_mesh=False)
+        st = s.init(seeds=1)
+        _, tr = s.run(st, n_iter=41, segment_size=10, progress=False,
+                      collect_beds=True)
+        # 4 full segments + remainder -> one snapshot per segment
+        assert tr["bed_thin"].shape[0] == 2
+        assert tr["bed_thin"].shape[2:] == (64, 64)
+        assert tr["bed_thin"].shape[1] >= 4
+        assert np.isfinite(tr["bed_thin"]).all()
+
+    def test_fancy_progress_renders(self, capsys):
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        s = MultiChainSampler(chain, n_chains=2, use_mesh=False)
+        st = s.init(seeds=1)
+        s.run(st, n_iter=21, segment_size=10, progress=True,
+              fancy_progress=True)
+        outp = capsys.readouterr().out
+        assert "Chain 0" in outp and "acc:" in outp
