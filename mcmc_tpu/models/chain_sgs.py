@@ -53,7 +53,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.covariance import CovarianceSpec, make_rotation_matrix
-from ..ops.kriging import conditional_gaussian_block
+from ..ops.kriging import conditional_gaussian_block, masked_cg_solve
 from ..ops.physics import mass_conservation_residual, masked_gaussian_loss, masked_sq_sum
 from ..ops.transforms import NormalScoreTransform
 from ..utils.config import LossConfig, SGSParams, VariogramConfig
@@ -75,10 +75,15 @@ class SGSStatic:
     use_transform: bool
     detrend: bool
     dropout: bool
+    has_nugget: bool = False
+    cg_iters: int = 64
 
 
 @dataclasses.dataclass
 class SGSConsts:
+    # hot-loop planes STACKED (one batched window slice instead of ~10):
+    # surf, velx, vely, dhdt, smb, trend, grounded, mc_mask, z_cond, data_mask
+    stacked: jnp.ndarray
     surf: jnp.ndarray
     velx: jnp.ndarray
     vely: jnp.ndarray
@@ -92,6 +97,8 @@ class SGSConsts:
     z_cond: jnp.ndarray       # transformed cond bed (0 where no data)
     data_mask: jnp.ndarray    # f32: radar data present
     nst: NormalScoreTransform
+    window_cov: jnp.ndarray   # (SB*SB, SB*SB) stationary window covariance
+    window_chol: jnp.ndarray  # its Cholesky factor (host-precomputed)
     rot: jnp.ndarray          # (2, 2) anisotropy matrix
     sill: jnp.ndarray
     nugget: jnp.ndarray
@@ -107,13 +114,23 @@ class SGSConsts:
 
 @dataclasses.dataclass
 class SGSState:
-    bed: jnp.ndarray       # detrended data-space bed (trend excluded)
-    mc_res: jnp.ndarray
+    fields: jnp.ndarray     # (3, H, W): detrended bed, mc_res, resampled
     loss_mc: jnp.ndarray
     loss_comp: jnp.ndarray
     key: jnp.ndarray
-    resampled: jnp.ndarray
     accepted: jnp.ndarray
+
+    @property
+    def bed(self):
+        return self.fields[..., 0, :, :]
+
+    @property
+    def mc_res(self):
+        return self.fields[..., 1, :, :]
+
+    @property
+    def resampled(self):
+        return self.fields[..., 2, :, :]
 
 
 import jax.tree_util as _tu
@@ -134,18 +151,21 @@ def sgs_init_state(bed_detrended, key, consts: SGSConsts) -> SGSState:
         bed + consts.trend, consts.surf, consts.velx, consts.vely,
         consts.dhdt, consts.smb, consts.resolution)
     loss_mc = masked_gaussian_loss(mc_res, consts.mc_mask, consts.sigma_mc)
-    return SGSState(bed=bed, mc_res=mc_res, loss_mc=jnp.float32(loss_mc),
+    fields = jnp.stack([bed, mc_res, jnp.zeros(bed.shape, jnp.float32)])
+    return SGSState(fields=fields, loss_mc=jnp.float32(loss_mc),
                     loss_comp=jnp.float32(0.0), key=key,
-                    resampled=jnp.zeros(bed.shape, jnp.float32),
                     accepted=jnp.int32(0))
 
 
 def make_sgs_kernel(static: SGSStatic):
     """MH update core with injectable randomness:
-    (consts, state, cx, cy, bsx, bsy, noise (NB,), drop_u (SB,SB), u, key)."""
+    (consts, state, cx, cy, bsx, bsy, noise (SB*SB [+SB*SB if nugget],),
+    drop_u (SB,SB), u, key)."""
     H, W, SB, BMX, BMY, M = (static.H, static.W, static.SB, static.BMX,
                              static.BMY, static.M)
-    NB = BMX * BMY
+
+    def drop_u_nugget(noise):
+        return noise[SB * SB:].reshape(SB, SB)
 
     def mh_update(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
                   noise, drop_u, u, key):
@@ -163,22 +183,21 @@ def make_sgs_kernel(static: SGSStatic):
         in_cols = (cols >= bymin) & (cols < bymax)
         in_block = in_rows[:, None] & in_cols[None, :]
 
-        def win(a):
-            return jax.lax.dynamic_slice(a, (sx, sy), (SB, SB))
-
-        bed_w = win(state.bed)
-        trend_w = win(consts.trend)
-        data_w = win(consts.data_mask) > 0
-        zcond_w = win(consts.z_cond)
+        cw = jax.lax.dynamic_slice(consts.stacked, (0, sx, sy), (10, SB, SB))
+        (surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f, mcf_w,
+         zcond_w, dataf_w) = cw
+        sw = jax.lax.dynamic_slice(state.fields, (0, sx, sy), (3, SB, SB))
+        bed_w, res_old_w, resampled_w = sw
+        data_w = dataf_w > 0
 
         # --- roles ----------------------------------------------------------
         sim_mask = in_block & ~data_w                       # cells to redraw
-        # conditioning: ring around the block (state values) + in-block data
+        # conditioning: every other window cell — the surrounding state and
+        # in-block radar data (all window cells are real domain cells)
         rd = jnp.maximum(jnp.maximum(bxmin - rows, rows - (bxmax - 1)), 0)
         cd = jnp.maximum(jnp.maximum(bymin - cols, cols - (bymax - 1)), 0)
         ring_dist = jnp.maximum(rd[:, None], cd[None, :])
-        near = ring_dist <= static.ring
-        cond_mask = near & ~sim_mask
+        cond_mask = ~sim_mask
         if static.dropout:
             cond_mask = cond_mask & (drop_u >= consts.dropout_rate)
 
@@ -189,34 +208,29 @@ def make_sgs_kernel(static: SGSStatic):
             z_w = bed_w
         z_w = jnp.where(in_block & data_w, zcond_w, z_w)
 
-        # --- joint conditional draw over the (BMX, BMY) slot grid ----------
-        res_m = consts.resolution
-        bi = jax.lax.broadcasted_iota(jnp.int32, (BMX, BMY), 0)
-        bj = jax.lax.broadcasted_iota(jnp.int32, (BMX, BMY), 1)
-        blk_rows = jnp.clip(bxmin + bi, 0, H - 1)
-        blk_cols = jnp.clip(bymin + bj, 0, W - 1)
-        block_xy = jnp.stack([blk_cols.ravel() * res_m,
-                              blk_rows.ravel() * res_m], axis=-1)
-        cond_xy = jnp.stack([(cols[None, :] * jnp.ones((SB, 1))).ravel() * res_m,
-                             (rows[:, None] * jnp.ones((1, SB))).ravel() * res_m],
-                            axis=-1)
-        # jitter 1e-2 (relative to sill): smooth covariances sit at the
-        # edge of f32 Cholesky stability even for ring-sized conditioning
-        # sets; the resulting small noise floor acts like a nugget (failed
-        # factorizations are also caught by the non-finite guard below)
-        draw, _, _ = conditional_gaussian_block(
-            static.spec, block_xy, cond_xy, z_w.ravel(),
-            cond_mask.ravel().astype(jnp.float32), consts.rot,
-            consts.sill, consts.nugget, consts.mean_z, noise, jitter=1e-2)
-        draw = draw.reshape(BMX, BMY)
-
-        # scatter draws into the window at the block anchor
-        slot_valid = (bi < (bxmax - bxmin)) & (bj < (bymax - bymin))
-        draw_w = jnp.zeros((SB, SB), draw.dtype)
-        draw_w = jax.lax.dynamic_update_slice(
-            draw_w, jnp.where(slot_valid, draw, 0.0),
-            (bxmin - sx, bymin - sy))
-        z_new_w = jnp.where(sim_mask, draw_w, z_w)
+        # --- conditional draw by conditioning-by-kriging ---------------------
+        # x | y_C = x_u + Sigma M w,  (M Sigma M + (I-M) + eps) w = M (y - x_u)
+        # with x_u an exact unconditional field drawn through the
+        # host-precomputed Cholesky factor of the STATIONARY window
+        # covariance (the window grid's offsets never change, so one factor
+        # serves every step).  The solve is fixed-iteration batched CG —
+        # pure MXU matvecs, no per-step sequential Cholesky (a vmapped
+        # 400-dim Cholesky costs ~20ms/chain on TPU; this whole draw is a
+        # few matmuls).  CG tolerance makes the proposal approximately (not
+        # bitwise) the conditional prior — the same approximation class as
+        # the reference's octant-limited sequential SGS.
+        z_u = (consts.window_chol @ noise[:SB * SB]).reshape(SB, SB)
+        z_u = z_u + consts.mean_z
+        cond_f = cond_mask.astype(jnp.float32).ravel()
+        rhs = jnp.where(cond_mask, z_w - z_u, 0.0).ravel()
+        eps = 1e-3 * jnp.maximum(consts.sill, 1.0)
+        wsol = masked_cg_solve(consts.window_cov, cond_f, rhs, eps,
+                               static.cg_iters)
+        adj = ((cond_f * wsol) @ consts.window_cov).reshape(SB, SB)
+        z_draw = z_u + adj
+        if static.has_nugget:
+            z_draw = z_draw + jnp.sqrt(consts.nugget) * drop_u_nugget(noise)
+        z_new_w = jnp.where(sim_mask, z_draw, z_w)
 
         # --- back to data space --------------------------------------------
         if static.use_transform:
@@ -231,19 +245,17 @@ def make_sgs_kernel(static: SGSStatic):
         full_old = bed_w + trend_w
         full_new = bed_new_w + trend_w
         res_new_w = mass_conservation_residual(
-            full_new, win(consts.surf), win(consts.velx), win(consts.vely),
-            win(consts.dhdt), win(consts.smb), consts.resolution)
-        res_old_w = win(state.mc_res)
-        mc_w = win(consts.mc_mask)
-        patch = chg & mc_w
+            full_new, surf_w, velx_w, vely_w, dhdt_w, smb_w,
+            consts.resolution)
+        patch = chg & (mcf_w > 0)
         denom = 2.0 * jnp.square(consts.sigma_mc)
         delta = (masked_sq_sum(res_new_w, patch)
                  - masked_sq_sum(res_old_w, patch)) / denom
         loss_next = state.loss_mc + delta
 
         # --- thickness guard (reference MCMC.py:1789-1795) ------------------
-        grounded_w = win(consts.grounded) > 0
-        viol = jnp.any(((win(consts.surf) - full_new) <= 0.0)
+        grounded_w = grounded_f > 0
+        viol = jnp.any(((surf_w - full_new) <= 0.0)
                        & in_block & grounded_w)
         # reject non-finite draws outright: a failed Cholesky (ill-
         # conditioned covariance) must not leak NaNs into the state, where
@@ -258,31 +270,31 @@ def make_sgs_kernel(static: SGSStatic):
 
         res_patched_w = jnp.where(chg, res_new_w, res_old_w)
 
-        def upd(a, w_new):
-            return jax.lax.dynamic_update_slice(a, w_new, (sx, sy))
-
         # never write a violating (possibly non-finite) proposal into the
         # state, even on the measure-zero u==0 accept (safety deviation
-        # from the reference edge case)
+        # from the reference edge case); accept folded into the window
+        # content so ONE scatter updates all three planes
         write = accept & ~viol
-        bed_out = jnp.where(write, upd(state.bed, bed_new_w), state.bed)
-        res_out = jnp.where(write, upd(state.mc_res, res_patched_w),
-                            state.mc_res)
-        resampled_w = win(state.resampled) + in_block.astype(jnp.float32)
-        resampled_out = jnp.where(write, upd(state.resampled, resampled_w),
-                                  state.resampled)
+        new_w = jnp.stack([
+            jnp.where(write, bed_new_w, bed_w),
+            jnp.where(write, res_patched_w, res_old_w),
+            jnp.where(write, resampled_w + in_block.astype(jnp.float32),
+                      resampled_w),
+        ])
+        fields_out = jax.lax.dynamic_update_slice(state.fields, new_w,
+                                                  (0, sx, sy))
 
         y = jnp.where(accept & ~viol, delta, 0.0) - state.loss_comp
         t = state.loss_mc + y
         comp = (t - state.loss_mc) - y
 
-        new_state = SGSState(bed=bed_out, mc_res=res_out, loss_mc=t,
+        new_state = SGSState(fields=fields_out, loss_mc=t,
                              loss_comp=comp, key=key,
-                             resampled=resampled_out,
                              accepted=state.accepted + accept.astype(jnp.int32))
         # sample probes report the full (trend-restored) bed like the
         # reference's bed_cache (MCMC.py:1822-1829)
-        full_bed_probe = (bed_out[consts.sample_ij[:, 0], consts.sample_ij[:, 1]]
+        full_bed_probe = (fields_out[0, consts.sample_ij[:, 0],
+                                     consts.sample_ij[:, 1]]
                           + consts.trend[consts.sample_ij[:, 0],
                                          consts.sample_ij[:, 1]])
         trace = {
@@ -300,7 +312,8 @@ def make_sgs_kernel(static: SGSStatic):
 
 def make_sgs_step(static: SGSStatic):
     mh_update = make_sgs_kernel(static)
-    NB = static.BMX * static.BMY
+    SB2 = static.SB * static.SB
+    n_noise = SB2 * 2 if static.has_nugget else SB2
 
     def step(consts: SGSConsts, state: SGSState):
         key, k_c, k_bx, k_by, k_noise, k_drop, k_u = jax.random.split(state.key, 7)
@@ -309,7 +322,7 @@ def make_sgs_step(static: SGSStatic):
         cy = consts.region_cells[cidx, 1]
         bsx = jax.random.randint(k_bx, (), consts.block_min_x, consts.block_max_x)
         bsy = jax.random.randint(k_by, (), consts.block_min_y, consts.block_max_y)
-        noise = jax.random.normal(k_noise, (NB,))
+        noise = jax.random.normal(k_noise, (n_noise,))
         drop_u = (jax.random.uniform(k_drop, (static.SB, static.SB))
                   if static.dropout else jnp.ones((static.SB, static.SB)))
         u = jax.random.uniform(k_u, ())
@@ -543,6 +556,32 @@ class ChainSGS:
                   else np.argwhere(np.ones(self.xx.shape, bool)))
         spec = CovarianceSpec(self.vario.vtype.lower(),
                               s=self.vario.smoothness)
+
+        # stationary window covariance: the (SB, SB) window grid's offsets
+        # never change, so ONE host-side covariance matrix + Cholesky factor
+        # serves every step (the unconditional part of the conditional draw)
+        ii, jj = np.meshgrid(np.arange(SB), np.arange(SB), indexing="ij")
+        pts = np.column_stack([jj.ravel() * self.resolution,
+                               ii.ravel() * self.resolution])
+        rot_np = np.asarray(make_rotation_matrix(
+            self.vario.azimuth, self.vario.major_range,
+            self.vario.minor_range), np.float64)
+        t = pts @ rot_np
+        dist = np.sqrt(((t[:, None, :] - t[None, :, :]) ** 2).sum(-1))
+        from ..ops.covariance import covariance_norm as _covn
+
+        wcov = np.asarray(_covn(spec, dist, self.vario.sill,
+                                self.vario.nugget), np.float64)
+        wcov = 0.5 * (wcov + wcov.T)
+        jit0 = 1e-6 * max(self.vario.sill, 1.0)
+        for _ in range(8):
+            try:
+                wchol = np.linalg.cholesky(wcov + jit0 * np.eye(SB * SB))
+                break
+            except np.linalg.LinAlgError:
+                jit0 *= 10.0
+        else:
+            raise RuntimeError("window covariance not factorizable")
         sample_ij = self._sample_ij()
         dropout = bool(self.sgs_params.rand_dropout_on
                        and self.sgs_params.dropout_rate > 0)
@@ -550,8 +589,19 @@ class ChainSGS:
             H=H, W=W, SB=SB, BMX=BMX, BMY=BMY, M=M, ring=self.ring_width,
             n_region=int(region.shape[0]), P=int(sample_ij.shape[0]),
             spec=spec, use_transform=self.do_transform,
-            detrend=self.detrend_map, dropout=dropout)
+            detrend=self.detrend_map, dropout=dropout,
+            has_nugget=self.vario.nugget > 0,
+            cg_iters=int(getattr(self, "cg_iters", 64)))
+        stacked = np.stack([
+            self.surf, self.velx, self.vely, self.dhdt, self.smb,
+            np.asarray(trend, np.float32),
+            np.asarray(self.grounded_ice_mask, np.float32),
+            np.asarray(self.mc_region_mask == 1, np.float32),
+            np.asarray(z_cond, np.float32),
+            np.asarray(self.data_mask, np.float32),
+        ]).astype(np.float32)
         consts = SGSConsts(
+            stacked=jnp.asarray(stacked),
             surf=jnp.asarray(self.surf),
             velx=jnp.asarray(self.velx),
             vely=jnp.asarray(self.vely),
@@ -567,6 +617,8 @@ class ChainSGS:
             nst=NormalScoreTransform(
                 quantiles=jnp.asarray(nst.quantiles, jnp.float32),
                 references=jnp.asarray(nst.references, jnp.float32)),
+            window_cov=jnp.asarray(wcov, jnp.float32),
+            window_chol=jnp.asarray(wchol, jnp.float32),
             rot=jnp.asarray(make_rotation_matrix(
                 self.vario.azimuth, self.vario.major_range,
                 self.vario.minor_range), jnp.float32),

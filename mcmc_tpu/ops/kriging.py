@@ -175,3 +175,40 @@ def ok_weights_masked(spec: CovarianceSpec, target_xy, coords, mask,
     b = jnp.concatenate([rho, jnp.where(n_valid > 0, 1.0, 0.0)[None]])
     w = jnp.linalg.solve(A, b)
     return w[:k], sill - jnp.sum(w[:k] * rho)
+
+
+def masked_cg_solve(Sigma, mask, rhs, eps, n_iters: int = 48):
+    """Fixed-iteration conjugate-gradient solve of the masked SPD system
+
+        (M Sigma M + (I - M) + eps I) w = M rhs
+
+    where M = diag(mask).  Everything is batched matvecs against a SHARED
+    ``Sigma`` (the stationary window covariance), so it runs as MXU matmuls
+    with no sequential panel factorization — the TPU-friendly replacement
+    for a per-chain Cholesky of the conditioning system.
+
+    Sigma: (n, n) shared; mask/rhs: (..., n) batched. Returns w (..., n).
+    """
+    m = mask
+    b = m * rhs
+
+    def A(v):
+        return m * ((m * v) @ Sigma) + (1.0 - m) * v + eps * v
+
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = jnp.sum(r * r, axis=-1, keepdims=True)
+
+    def body(i, carry):
+        x, r, p, rs = carry
+        Ap = A(p)
+        alpha = rs / jnp.maximum(jnp.sum(p * Ap, axis=-1, keepdims=True), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.sum(r * r, axis=-1, keepdims=True)
+        p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+        return (x, r, p, rs_new)
+
+    x, r, p, rs = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rs))
+    return x
