@@ -26,14 +26,14 @@ def main():
     ds = make_dataset(H=128, W=128)
     res = ds["resolution"]
 
-    # initial beds: large-scale chain finals if example 03 ran, else fresh
+    # initial beds: large-scale chain finals if example 03 ran on the SAME
+    # grid, else fresh perturbations of the dataset's initial bed
     lsc_beds = OUT / "lsc_final_beds.npy"
+    beds = None
     if lsc_beds.exists():
-        beds = np.load(lsc_beds)[:2]
-        beds = np.stack([b[:128, :128] for b in beds]) \
-            if beds.shape[-1] >= 128 else None
-    else:
-        beds = None
+        cand = np.load(lsc_beds)[:2]
+        if cand.shape[-2:] == ds["xx"].shape:
+            beds = cand
     if beds is None:
         rng = np.random.default_rng(1)
         beds = np.stack([

@@ -6,17 +6,23 @@ rectangular block per iteration with sequential Gaussian simulation: a
 shuffled path over block cells, octant neighbor search, one kriging lstsq
 per cell (MCMC.py:91-173) — inherently serial and impossible to batch.
 
-Here the block draw is an **exact joint conditional Gaussian**
-(ops/kriging.conditional_gaussian_block): the block's non-data cells are
-drawn jointly given (a) a conditioning ring of the current state around the
-block and (b) radar-data cells inside the block, via batched Cholesky — the
-README's own planned direction (reference README.md:21-23).  This is not
-just faster; proposing from the exact conditional prior makes the
-reference's likelihood-only MH acceptance rule mathematically exact (prior
-terms cancel in the MH ratio), where octant-limited sequential SGS only
-approximates it.  Parity with the reference is therefore statistical
-(same conditional law / posterior), not draw-for-draw; see
-tests/test_chain_sgs.py.
+Here the block draw is a **joint conditional Gaussian** via
+conditioning-by-kriging: the block's non-data cells are drawn jointly given
+the surrounding state and in-block radar data as
+
+    x | y_C = x_u + Sigma M w,   (M Sigma M + (I-M) + eps I) w = M (y - x_u)
+
+where x_u is an unconditional field drawn through a host-precomputed
+Cholesky factor of the STATIONARY window covariance (the direct-
+factorization direction the upstream README itself plans,
+reference README.md:21-23) and the solve is fixed-iteration batched CG
+(ops/kriging.masked_cg_solve) — batched matvecs only, no per-step
+factorization, which is what the TPU wants.  Proposing from the (near-)
+exact conditional prior makes the reference's likelihood-only MH acceptance
+rule (nearly) exact — prior terms cancel in the MH ratio — where
+octant-limited sequential SGS only approximates it.  Parity with the
+reference is therefore statistical (same conditional law / posterior), not
+draw-for-draw; see tests/test_chain_sgs.py.
 
 Other reference behaviors carried over:
 - optional detrending (state kept in detrended space, trend re-added for
@@ -53,7 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.covariance import CovarianceSpec, make_rotation_matrix
-from ..ops.kriging import conditional_gaussian_block, masked_cg_solve
+from ..ops.kriging import masked_cg_solve
 from ..ops.physics import mass_conservation_residual, masked_gaussian_loss, masked_sq_sum
 from ..ops.transforms import NormalScoreTransform
 from ..utils.config import LossConfig, SGSParams, VariogramConfig
@@ -219,14 +225,17 @@ def make_sgs_kernel(static: SGSStatic):
         # few matmuls).  CG tolerance makes the proposal approximately (not
         # bitwise) the conditional prior — the same approximation class as
         # the reference's octant-limited sequential SGS.
-        z_u = (consts.window_chol @ noise[:SB * SB]).reshape(SB, SB)
+        hi = jax.lax.Precision.HIGHEST
+        z_u = jnp.matmul(consts.window_chol, noise[:SB * SB],
+                         precision=hi).reshape(SB, SB)
         z_u = z_u + consts.mean_z
         cond_f = cond_mask.astype(jnp.float32).ravel()
         rhs = jnp.where(cond_mask, z_w - z_u, 0.0).ravel()
         eps = 1e-3 * jnp.maximum(consts.sill, 1.0)
         wsol = masked_cg_solve(consts.window_cov, cond_f, rhs, eps,
                                static.cg_iters)
-        adj = ((cond_f * wsol) @ consts.window_cov).reshape(SB, SB)
+        adj = jnp.matmul(cond_f * wsol, consts.window_cov,
+                         precision=hi).reshape(SB, SB)
         z_draw = z_u + adj
         if static.has_nugget:
             z_draw = z_draw + jnp.sqrt(consts.nugget) * drop_u_nugget(noise)

@@ -191,9 +191,14 @@ def masked_cg_solve(Sigma, mask, rhs, eps, n_iters: int = 48):
     """
     m = mask
     b = m * rhs
+    # full-f32 accumulation: TPU's default matmul precision is bf16-class,
+    # which under vmap silently downgrades these matvecs and destroys CG
+    # convergence (an unbatched matvec takes the f32 VPU path instead —
+    # the bug only appeared in batched runs)
+    hi = jax.lax.Precision.HIGHEST
 
     def A(v):
-        return m * ((m * v) @ Sigma) + (1.0 - m) * v + eps * v
+        return m * jnp.matmul(m * v, Sigma, precision=hi) + (1.0 - m) * v + eps * v
 
     x = jnp.zeros_like(b)
     r = b
