@@ -283,7 +283,10 @@ class MultiChainSampler:
 
     # -- diagnostics --------------------------------------------------------
 
-    def diagnostics(self, traces):
+    def diagnostics(self, traces, elapsed_seconds=None):
+        """Convergence summary: acceptance, split R-hat, ESS (+ ESS/sec and
+        chain-it/sec when ``elapsed_seconds`` is given — the §5.1 throughput
+        metrics the reference only displays transiently)."""
         from . import diagnostics as diag
 
         out = {"acceptance_rate": np.asarray(traces["step"], np.float32).mean(axis=1)}
@@ -292,4 +295,11 @@ class MultiChainSampler:
             out["rhat"] = np.asarray(diag.split_rhat(samp))
             out["ess"] = np.asarray(diag.ess(samp))
         out["rhat_loss"] = float(diag.split_rhat(jnp.asarray(traces["loss"])))
+        out["ess_loss"] = float(np.asarray(diag.ess(jnp.asarray(traces["loss"]))))
+        if elapsed_seconds:
+            n_iter = traces["loss"].shape[1]
+            out["chain_iters_per_sec"] = n_iter * self.n_chains / elapsed_seconds
+            out["ess_per_sec"] = out["ess_loss"] / elapsed_seconds
+            if "ess" in out:
+                out["ess_per_sec_probes"] = np.asarray(out["ess"]) / elapsed_seconds
         return out
