@@ -176,10 +176,13 @@ def sgs(xx, yy, grid, variogram, radius=100e3, num_points=20, ktype="ok",
             lo = lo_b[cells[:, 0], cells[:, 1]]
             hi = hi_b[cells[:, 0], cells[:, 1]]
             eq = lo == hi
-            a = (lo - est) / np.maximum(sd, 1e-12)
-            b = (hi - est) / np.maximum(sd, 1e-12)
+            sd_s = np.maximum(sd, 1e-12)
+            # mask degenerate bounds BEFORE calling rvs: scipy raises on
+            # a == b instead of returning the point mass
+            a = np.where(eq, -1.0, (lo - est) / sd_s)
+            b = np.where(eq, 1.0, (hi - est) / sd_s)
             draws = np.where(eq, lo, truncnorm.rvs(
-                a, b, loc=est, scale=np.maximum(sd, 1e-12), random_state=rng))
+                a, b, loc=est, scale=sd_s, random_state=rng))
         zg = zg.at[ii, jj].set(jnp.asarray(draws, jnp.float32))
         cm = cm.at[ii, jj].set(True)
 

@@ -30,6 +30,7 @@ import jax
 from ..models.chain_crf import ChainState
 
 _CKPT_RE = re.compile(r"checkpoint_(\d+)\.npz$")
+_HIST_RE = re.compile(r"hist_(\d+)_(\d+)\.npz$")
 
 
 def _state_classes():
@@ -111,6 +112,51 @@ class CheckpointManager:
                 p.unlink()
         return target
 
+    # -- incremental histories (each file holds only its segment's rows, so
+    # -- a long run writes each row once instead of rewriting the full
+    # -- history at every checkpoint) ---------------------------------------
+
+    def append_history(self, start_row: int, end_row: int, rows: dict):
+        if end_row <= start_row:
+            return None
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez_compressed(fh, **{k: np.asarray(v)
+                                           for k, v in rows.items()})
+            target = self.dir / f"hist_{int(start_row)}_{int(end_row)}.npz"
+            os.replace(tmp, target)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return target
+
+    def load_history(self, upto: Optional[int] = None):
+        """Concatenate history segment files (chain-major axis=1), truncated
+        to ``upto`` rows (a crash between a history append and the state
+        save can leave a trailing partial segment)."""
+        segs = []
+        for p in self.dir.iterdir():
+            m = _HIST_RE.search(p.name)
+            if m:
+                segs.append((int(m.group(1)), int(m.group(2)), p))
+        if not segs:
+            return {}
+        segs.sort()
+        parts = []
+        for start, end, p in segs:
+            if upto is not None and start >= upto:
+                continue
+            with np.load(p) as z:
+                parts.append({k: z[k] for k in z.files})
+        if not parts:
+            return {}
+        out = {k: np.concatenate([s[k] for s in parts], axis=1)
+               for k in parts[0]}
+        if upto is not None:
+            out = {k: v[:, :upto] for k, v in out.items()}
+        return out
+
     def load(self, cumulative_iter: Optional[int] = None):
         """Returns (cumulative_iter, states, histories, meta) or None."""
         cps = self._checkpoints()
@@ -164,10 +210,16 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
     # exactly the traces of an uninterrupted one.
     remaining = int(n_iter) - done
     if remaining <= 0:
+        if not histories:
+            histories = mgr.load_history(upto=done)
         return states, histories, done
 
     checkpoint_every = checkpoint_every or segment_size
     resuming = ck is not None
+    if resuming and not histories:
+        # legacy full-embed checkpoints carry their histories; incremental
+        # runs store them as hist_{a}_{b}.npz segment files
+        histories = mgr.load_history(upto=done)
 
     def _merge(prev, new):
         if not prev:
@@ -175,6 +227,21 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
         return {k: np.concatenate([prev[k], new[k]], axis=1) for k in new}
 
     box = {"segments": [], "rows": done, "saved_rows": done, "first": True}
+
+    def _flush(states_):
+        """Write only the NEW rows as a history segment + a state-only
+        checkpoint (each row hits disk once per run)."""
+        if box["segments"]:
+            seg_cat = {k: np.concatenate([s[k] for s in box["segments"]],
+                                         axis=1)
+                       for k in box["segments"][0]}
+            mgr.append_history(box["saved_rows"], box["rows"], seg_cat)
+            merged = _merge(histories, seg_cat)
+            histories.clear()
+            histories.update(merged)
+            box["segments"] = []
+        mgr.save(box["rows"], states_)
+        box["saved_rows"] = box["rows"]
 
     def cb(_local, states_, traces_np):
         seg = {k: np.moveaxis(v, 0, 1) for k, v in traces_np.items()}
@@ -185,25 +252,11 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
         box["segments"].append(seg)
         box["rows"] += seg["loss"].shape[1]
         if box["rows"] - box["saved_rows"] >= checkpoint_every:
-            seg_cat = {k: np.concatenate([s[k] for s in box["segments"]],
-                                         axis=1)
-                       for k in box["segments"][0]}
-            merged = _merge(histories, seg_cat)
-            histories.clear() if isinstance(histories, dict) else None
-            histories.update(merged)
-            box["segments"] = []
-            mgr.save(box["rows"], states_, histories)
-            box["saved_rows"] = box["rows"]
+            _flush(states_)
 
     run_len = remaining + (1 if resuming else 0)
     states, _ = sampler.run(states, run_len, segment_size=segment_size,
                             progress=progress, segment_callback=cb)
-    if box["segments"]:
-        seg_cat = {k: np.concatenate([s[k] for s in box["segments"]], axis=1)
-                   for k in box["segments"][0]}
-        merged = _merge(histories, seg_cat)
-        histories.clear()
-        histories.update(merged)
+    _flush(states)
     cum = done + remaining
-    mgr.save(cum, states, histories)
     return states, histories, cum

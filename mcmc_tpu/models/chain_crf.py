@@ -271,12 +271,16 @@ def make_kernel(static: CRFStatic):
         accept = u <= rate
 
         # --- state update: ONE window scatter, accept folded into content ----
+        # (write gated on accept & ~viol so a measure-zero u==0 accept of a
+        # thickness-violating proposal cannot desync bed and loss — the same
+        # safety deviation from the reference edge case as chain_sgs)
+        write = accept & ~viol
         res_patched_w = jnp.where(in_block, res_new_w, res_old_w)
         resampled_new_w = resampled_w + jnp.where(in_block, upd_w, 0.0)
         new_w = jnp.stack([
-            jnp.where(accept, bed_new_w, bed_w),
-            jnp.where(accept, res_patched_w, res_old_w),
-            jnp.where(accept, resampled_new_w, resampled_w),
+            jnp.where(write, bed_new_w, bed_w),
+            jnp.where(write, res_patched_w, res_old_w),
+            jnp.where(write, resampled_new_w, resampled_w),
         ])
         fields_out = jax.lax.dynamic_update_slice(state.fields, new_w,
                                                   (0, sx, sy))
@@ -454,8 +458,8 @@ def run_chain(static: CRFStatic, consts: CRFConsts, state: ChainState,
 
     init_row = {
         "loss_mc": state.loss_mc,
-        "loss_data": jnp.float32(0.0),
-        "loss": state.loss_mc,
+        "loss_data": state.loss_data,
+        "loss": state.loss_mc + state.loss_data,
         "step": jnp.asarray(False),
         "block": jnp.full((4,), jnp.nan, jnp.float32),
         "samples": state.bed[consts.sample_ij[:, 0], consts.sample_ij[:, 1]],

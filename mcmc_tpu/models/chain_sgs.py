@@ -90,18 +90,8 @@ class SGSConsts:
     # hot-loop planes STACKED (one batched window slice instead of ~10):
     # surf, velx, vely, dhdt, smb, trend, grounded, mc_mask, z_cond, data_mask
     stacked: jnp.ndarray
-    surf: jnp.ndarray
-    velx: jnp.ndarray
-    vely: jnp.ndarray
-    dhdt: jnp.ndarray
-    smb: jnp.ndarray
-    trend: jnp.ndarray        # zeros when not detrending
-    grounded: jnp.ndarray     # f32
-    mc_mask: jnp.ndarray      # bool
     region_cells: jnp.ndarray
     sample_ij: jnp.ndarray
-    z_cond: jnp.ndarray       # transformed cond bed (0 where no data)
-    data_mask: jnp.ndarray    # f32: radar data present
     nst: NormalScoreTransform
     window_cov: jnp.ndarray   # (SB*SB, SB*SB) stationary window covariance
     window_chol: jnp.ndarray  # its Cholesky factor (host-precomputed)
@@ -116,6 +106,47 @@ class SGSConsts:
     block_max_y: jnp.ndarray
     dropout_rate: jnp.ndarray
     mean_z: jnp.ndarray       # prior mean in (transformed) sim space
+
+    # named plane views over `stacked` (setup/host paths)
+    @property
+    def surf(self):
+        return self.stacked[0]
+
+    @property
+    def velx(self):
+        return self.stacked[1]
+
+    @property
+    def vely(self):
+        return self.stacked[2]
+
+    @property
+    def dhdt(self):
+        return self.stacked[3]
+
+    @property
+    def smb(self):
+        return self.stacked[4]
+
+    @property
+    def trend(self):
+        return self.stacked[5]
+
+    @property
+    def grounded(self):
+        return self.stacked[6]
+
+    @property
+    def mc_mask(self):
+        return self.stacked[7] > 0
+
+    @property
+    def z_cond(self):
+        return self.stacked[8]
+
+    @property
+    def data_mask(self):
+        return self.stacked[9]
 
 
 @dataclasses.dataclass
@@ -611,18 +642,8 @@ class ChainSGS:
         ]).astype(np.float32)
         consts = SGSConsts(
             stacked=jnp.asarray(stacked),
-            surf=jnp.asarray(self.surf),
-            velx=jnp.asarray(self.velx),
-            vely=jnp.asarray(self.vely),
-            dhdt=jnp.asarray(self.dhdt),
-            smb=jnp.asarray(self.smb),
-            trend=jnp.asarray(trend, jnp.float32),
-            grounded=jnp.asarray(self.grounded_ice_mask, jnp.float32),
-            mc_mask=jnp.asarray(self.mc_region_mask == 1),
             region_cells=jnp.asarray(region, jnp.int32),
             sample_ij=jnp.asarray(sample_ij, jnp.int32),
-            z_cond=jnp.asarray(z_cond, jnp.float32),
-            data_mask=jnp.asarray(self.data_mask, jnp.float32),
             nst=NormalScoreTransform(
                 quantiles=jnp.asarray(nst.quantiles, jnp.float32),
                 references=jnp.asarray(nst.references, jnp.float32)),

@@ -32,8 +32,7 @@ def _masked_system(spec: CovarianceSpec, coords, mask, target_xy,
 
     m = mask.astype(sigma.dtype)
     mm = m[:, None] * m[None, :]
-    eye = jnp.eye(coords.shape[0], dtype=sigma.dtype)
-    sigma = sigma * mm + eye * (1.0 - m)[None, :] * 0 + jnp.diag(1.0 - m)
+    sigma = sigma * mm + jnp.diag(1.0 - m)
     rho = rho * m
     return sigma, rho
 

@@ -181,7 +181,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         delta_ref[i, 0] = jnp.where(accept & ~viol, delta, 0.0)
         ddata_ref[i, 0] = jnp.where(accept & ~viol, delta_data, 0.0)
 
-        @pl.when(accept)
+        @pl.when(accept & ~viol)
         def _():
             new_vmem[0] = bed_new_w
             new_vmem[1] = jnp.where(in_block, res_new_w, res_old_w)

@@ -195,8 +195,9 @@ def make_sharded_crf_chain(mesh: Mesh, static, grid_axis: str = "grid"):
 
             u = jax.random.uniform(k_u, ())
             accept = u <= jnp.minimum(1.0, jnp.exp(loss_prev - loss_next))
-            bed = jnp.where(accept, bed_new, bed)
-            loss = jnp.where(accept, loss_next, loss_prev)
+            write = accept & ~viol
+            bed = jnp.where(write, bed_new, bed)
+            loss = jnp.where(write, loss_next, loss_prev)
             return (bed, loss, key), (loss, accept)
 
         (bed, loss, _), (losses, steps) = jax.lax.scan(

@@ -209,10 +209,11 @@ class MultiChainSampler:
         profile_dir: capture a jax.profiler trace of the second segment.
         """
         n_iter = int(n_iter)
+        loss_data0 = getattr(states, "loss_data", jnp.zeros_like(states.loss_mc))
         init_row = {
             "loss_mc": states.loss_mc,
-            "loss_data": jnp.zeros_like(states.loss_mc),
-            "loss": states.loss_mc,
+            "loss_data": loss_data0,
+            "loss": states.loss_mc + loss_data0,
             "step": jnp.zeros(self.n_chains, bool),
             "block": jnp.full((self.n_chains, 4), jnp.nan, jnp.float32),
             "samples": jax.vmap(
@@ -291,7 +292,7 @@ class MultiChainSampler:
 
         out = {"acceptance_rate": np.asarray(traces["step"], np.float32).mean(axis=1)}
         if traces["samples"].shape[-1] > 0:
-            samp = jnp.asarray(np.moveaxis(traces["samples"], -1, -1))
+            samp = jnp.asarray(traces["samples"])
             out["rhat"] = np.asarray(diag.split_rhat(samp))
             out["ess"] = np.asarray(diag.ess(samp))
         out["rhat_loss"] = float(diag.split_rhat(jnp.asarray(traces["loss"])))
