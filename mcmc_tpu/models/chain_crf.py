@@ -346,22 +346,45 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
     Signature: (consts, states_batched) -> (states_batched, traces) where
     every state leaf and trace entry has a leading chain axis.
     """
+    from ..ops.spectral import sample_field_params, spectral_field
     from ..ops.window_kernel import fused_window_sizes, make_fused_window_update
 
     H, W, B = static.H, static.W, static.rf.B
     SX, SY = fused_window_sizes(H, W, B)
+    # without a nugget (the production configs), the kernel finishes the
+    # proposal itself (standardize/scale/edge) from the raw spectral field;
+    # the nugget path pre-assembles the canvas in XLA like draw_block
+    prefinished = static.rf.has_nugget
     fused = make_fused_window_update(H, W, B, interpret=interpret,
-                                     use_data_loss=static.use_data_loss)
+                                     use_data_loss=static.use_data_loss,
+                                     prefinished=prefinished)
 
     def step(consts: CRFConsts, states: ChainState):
         def draws(key):
             key, k_block, k_center, k_u = jax.random.split(key, 4)
-            f, size_idx, w, h = draw_block(k_block, static.rf, consts.rf)
+            if prefinished:
+                f, size_idx, w, h = draw_block(k_block, static.rf, consts.rf)
+                scale = jnp.float32(0.0)  # already applied
+            else:
+                # raw draw only; the fused kernel finishes it
+                k_size, k_params, k_field, _ = jax.random.split(k_block, 4)
+                size_idx = jax.random.randint(k_size, (), 0,
+                                              static.rf.n_sizes)
+                w = consts.rf.pairs[0, size_idx]
+                h = consts.rf.pairs[1, size_idx]
+                scale, _nug, range_x, range_y = sample_field_params(
+                    k_params, consts.rf.scale_min, consts.rf.scale_max,
+                    consts.rf.nugget_max, consts.rf.range_min_x,
+                    consts.rf.range_max_x, consts.rf.range_min_y,
+                    consts.rf.range_max_y, static.rf.isotropic)
+                f = spectral_field(k_field, (B, B), static.rf.resolution,
+                                   static.rf.model_name, range_x, range_y,
+                                   static.rf.smoothness)
             cidx = jax.random.randint(k_center, (), 0, static.n_region)
             u = jax.random.uniform(k_u, ())
-            return key, f, w, h, cidx, u
+            return key, f, size_idx, scale, w, h, cidx, u
 
-        key, f, w, h, cidx, u = jax.vmap(draws)(states.key)
+        key, f, size_idx, scale, w, h, cidx, u = jax.vmap(draws)(states.key)
         cx = consts.region_cells[cidx, 0]
         cy = consts.region_cells[cidx, 1]
 
@@ -388,17 +411,19 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
         shift_x = jnp.mod(off_x - sx, SX)
         shift_y = jnp.mod(off_y - sy, SY)
         geom = jnp.stack([sx, sy, shift_x, shift_y, bxmin, bxmax, bymin,
-                          bymax], axis=1).astype(jnp.int32)
+                          bymax, h, w, size_idx], axis=1).astype(jnp.int32)
         n = states.fields.shape[0]
         fvals = jnp.stack([
             u, states.loss_mc + states.loss_data,
             jnp.broadcast_to(consts.sigma_mc, (n,)),
             jnp.broadcast_to(consts.resolution, (n,)),
             jnp.broadcast_to(consts.sigma_data, (n,)),
+            scale,
         ], axis=1).astype(jnp.float32)
 
         fields_out, acc_f, delta, delta_data = fused(
-            consts.stacked, states.fields, f, geom, fvals)
+            consts.stacked, states.fields, f, consts.rf.edge_masks, geom,
+            fvals)
         accept = acc_f > 0
 
         # Kahan-compensated loss accumulation (deltas pre-zeroed by the

@@ -53,25 +53,32 @@ def fused_path_supported(H: int, W: int, B: int) -> bool:
 
 
 def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
-                             use_data_loss: bool = False):
+                             use_data_loss: bool = False,
+                             prefinished: bool = False):
     """Build the fused window-update op.
 
-    Returns fn(consts_stacked (10,H,W), fields (N,3,H,W), fcan (N,B,B),
-               geom (N,8) int32, fvals (N,5) f32) ->
-               (fields' (N,3,H,W), accept (N,), delta (N,), delta_data (N,))
+    Returns fn(consts_stacked (10,H,W), fields (N,3,H,W), fraw (N,B,B),
+               edge_masks (n_sizes,B,B), geom (N,11) int32, fvals (N,6) f32)
+               -> (fields' (N,3,H,W), accept (N,), delta (N,), delta_data (N,))
 
-    geom rows: [sx, sy, shift_x, shift_y, bxmin, bxmax, bymin, bymax] where
-    (sx, sy) are ALIGNED window starts and shift_* the circular-roll
-    placement of the proposal canvas.  fvals rows: [u, loss_prev(total),
-    sigma_mc, resolution, sigma_data].  fields planes: bed, mc_res,
-    resampled; consts planes: surf, velx, vely, dhdt, smb, update_mask,
-    mc_mask, crf_weight, cond_bed, data_loss_mask.
+    ``fraw`` is the RAW spectral field (irfft2 output): the kernel finishes
+    the proposal itself — standardize to exact zero-mean/unit-variance over
+    the (h, w) block (reference MCMC.py:248), multiply by the sampled scale,
+    apply the logistic edge mask (DMA'd by size index — a vmapped XLA gather
+    for the same lookup costs ~1ms) — then places it with pad + circular
+    roll.  Nugget noise, when enabled, must be pre-added by the caller.
+
+    geom rows: [sx, sy, shift_x, shift_y, bxmin, bxmax, bymin, bymax,
+    h, w, size_idx] with (sx, sy) ALIGNED window starts.  fvals rows:
+    [u, loss_prev(total), sigma_mc, resolution, sigma_data, scale].
+    fields planes: bed, mc_res, resampled; consts planes: surf, velx, vely,
+    dhdt, smb, update_mask, mc_mask, crf_weight, cond_bed, data_loss_mask.
     """
     SX, SY = fused_window_sizes(H, W, B)
 
-    def kernel(geom_ref, fvals_ref, cons_hbm, fields_in, fcan_ref, fields_out,
-               acc_ref, delta_ref, ddata_ref,
-               cons_vmem, st_vmem, new_vmem, sems):
+    def kernel(geom_ref, fvals_ref, cons_hbm, fields_in, fraw_ref, edge_hbm,
+               fields_out, acc_ref, delta_ref, ddata_ref,
+               cons_vmem, st_vmem, new_vmem, edge_vmem, sems):
         del fields_in  # aliased with fields_out; all access goes through out
         i = pl.program_id(0)
         # alignment facts the host-side geometry guarantees (multiple_of
@@ -85,11 +92,15 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         bxmax = geom_ref[i, 5]
         bymin = geom_ref[i, 6]
         bymax = geom_ref[i, 7]
+        bh = geom_ref[i, 8]
+        bw = geom_ref[i, 9]
+        size_idx = geom_ref[i, 10]
         u = fvals_ref[i, 0]
         loss_prev = fvals_ref[i, 1]
         sigma = fvals_ref[i, 2]
         resolution = fvals_ref[i, 3]
         sigma_data = fvals_ref[i, 4]
+        scale = fvals_ref[i, 5]
 
         cdma = pltpu.make_async_copy(
             cons_hbm.at[:, pl.ds(sx, SX), pl.ds(sy, SY)], cons_vmem,
@@ -99,9 +110,33 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             fields_out.at[i, :, pl.ds(sx, SX), pl.ds(sy, SY)], st_vmem,
             sems.at[1])
         sdma.start()
+        # edge_hbm lanes are padded to 128 (DMA slice tiling); kernel uses
+        # the leading (B, B) part
+        edma = pltpu.make_async_copy(edge_hbm.at[size_idx], edge_vmem,
+                                     sems.at[3])
+        edma.start()
+
+        if prefinished:
+            # caller already standardized/scaled/edge-masked (nugget path)
+            edma.wait()
+            f = fraw_ref[0]
+        else:
+            # finish the proposal: standardize over the (h, w) block to
+            # exact zero mean / unit variance (population std + 1e-12,
+            # reference MCMC.py:248), scale, edge-mask
+            bi = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+            bj = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+            bmask = ((bi < bh) & (bj < bw)).astype(jnp.float32)
+            nblk = jnp.maximum(jnp.sum(bmask), 1.0)
+            raw = fraw_ref[0]
+            mean = jnp.sum(raw * bmask) / nblk
+            var = jnp.sum(jnp.square(raw - mean) * bmask) / nblk
+            f = (raw - mean) / (jnp.sqrt(var) + 1e-12) * bmask * scale
+            edma.wait()
+            f = f * edge_vmem[:, :B]
 
         # place the proposal canvas: static zero-pad + dynamic roll
-        canvas = jnp.pad(fcan_ref[0], ((0, SX - B), (0, SY - B)))
+        canvas = jnp.pad(f, ((0, SX - B), (0, SY - B)))
         if interpret:
             canvas = jnp.roll(canvas, shift_x, axis=0)
             canvas = jnp.roll(canvas, shift_y, axis=1)
@@ -192,16 +227,23 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             wdma.start()
             wdma.wait()
 
-    def fn(consts_stacked, fields, fcan, geom, fvals):
+    def fn(consts_stacked, fields, fraw, edge_masks, geom, fvals):
         N = fields.shape[0]
+        # pad edge-mask lanes to the 128 tile so the by-index DMA slice is
+        # tiling-aligned
+        EBL = _round_up(B, 128)
+        if edge_masks.shape[-1] != EBL:
+            edge_masks = jnp.pad(edge_masks,
+                                 ((0, 0), (0, 0), (0, EBL - B)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(N,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),     # consts (8,H,W)
+                pl.BlockSpec(memory_space=pltpu.HBM),     # consts (10,H,W)
                 pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
                 pl.BlockSpec((1, B, B), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM),    # fcan
+                             memory_space=pltpu.VMEM),    # fraw
+                pl.BlockSpec(memory_space=pltpu.HBM),     # edge_masks
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
@@ -213,7 +255,8 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
                 pltpu.VMEM((10, SX, SY), jnp.float32),
                 pltpu.VMEM((3, SX, SY), jnp.float32),
                 pltpu.VMEM((3, SX, SY), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.VMEM((B, _round_up(B, 128)), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
             ],
         )
         fields_out, acc, delta, ddata = pl.pallas_call(
@@ -229,7 +272,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             # scalar-prefetch args) aliases the first output
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(geom, fvals, consts_stacked, fields, fcan)
+        )(geom, fvals, consts_stacked, fields, fraw, edge_masks)
         return fields_out, acc[:, 0], delta[:, 0], ddata[:, 0]
 
     return fn
