@@ -301,7 +301,9 @@ def make_kernel(static: CRFStatic):
             loss_data=td,
             loss_data_comp=comp_d,
             key=key,
-            accepted=state.accepted + accept.astype(jnp.int32),
+            # count `accept & ~viol`, matching the gated state write, so
+            # acceptance diagnostics agree with the actual chain move
+            accepted=state.accepted + ok.astype(jnp.int32),
         )
 
         samples = fields_out[0, consts.sample_ij[:, 0], consts.sample_ij[:, 1]]
@@ -309,7 +311,7 @@ def make_kernel(static: CRFStatic):
             "loss_mc": t,
             "loss_data": td,
             "loss": t + td,
-            "step": accept,
+            "step": ok,
             "block": jnp.stack([cx, cy, h, w]).astype(jnp.float32),
             "samples": samples,
         }
@@ -653,7 +655,12 @@ class ChainCRF:
                                                self._weight_cfg)
         H, W = self.xx.shape
         S = int(min(H, W, rf_static.B + 4))
-        if S < rf_static.B + 4 and (H > rf_static.B + 4 or W > rf_static.B + 4):
+        # Guard must trip whenever the window is clipped below B+4 on a grid
+        # whose OTHER dim still exceeds the window (e.g. H=36, W=33, B=32):
+        # a max-size block near the far edge would then put in-block cells on
+        # the window's one-sided-gradient boundary row, breaking the bitwise
+        # incremental-residual invariant (same form as ChainSGS.build).
+        if S < rf_static.B + 4 and (H > S or W > S):
             raise ValueError("grid too small for the configured block sizes")
 
         update_mask = (self.region_mask if self.update_in_region

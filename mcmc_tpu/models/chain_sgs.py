@@ -555,6 +555,11 @@ class ChainSGS:
                  else np.zeros(self.xx.shape, np.float32))
         bed0 = self.initial_bed - trend
         cond0 = self.cond_bed - trend
+        # Conditioning keys off data_mask AND finite cond_bed: the reference
+        # keys off ~isnan(cond_bed) (MCMC.py:1766-1773) and would re-simulate
+        # NaN cells, so a data_mask=1/NaN-cond cell must not be conditioned
+        # on transform(0 - trend) garbage (same guard as ChainCRF.build).
+        dmask = np.asarray(self.data_mask, bool) & np.isfinite(np.asarray(cond0))
 
         if self.do_transform:
             nst = self.nst_trans
@@ -570,13 +575,12 @@ class ChainSGS:
             bed0 = np.asarray(nst.inverse(nst.transform(bed0)), np.float32)
             z_cond = np.asarray(nst.transform(
                 np.where(np.isnan(cond0), 0.0, cond0)), np.float32)
-            z_cond = np.where(np.asarray(self.data_mask, bool), z_cond, 0.0)
+            z_cond = np.where(dmask, z_cond, 0.0)
             mean_z = 0.0
         else:
             nst = NormalScoreTransform(quantiles=np.array([0.0, 1.0]),
                                        references=np.array([0.0, 1.0]))
-            z_cond = np.where(np.asarray(self.data_mask, bool),
-                              np.nan_to_num(cond0), 0.0)
+            z_cond = np.where(dmask, np.nan_to_num(cond0), 0.0)
             mean_z = float(np.nanmean(cond0)) if np.isfinite(
                 np.nanmean(cond0)) else 0.0
 
@@ -638,7 +642,7 @@ class ChainSGS:
             np.asarray(self.grounded_ice_mask, np.float32),
             np.asarray(self.mc_region_mask == 1, np.float32),
             np.asarray(z_cond, np.float32),
-            np.asarray(self.data_mask, np.float32),
+            np.asarray(dmask, np.float32),
         ]).astype(np.float32)
         consts = SGSConsts(
             stacked=jnp.asarray(stacked),

@@ -74,6 +74,12 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
     fields planes: bed, mc_res, resampled; consts planes: surf, velx, vely,
     dhdt, smb, update_mask, mc_mask, crf_weight, cond_bed, data_loss_mask.
     """
+    if not fused_path_supported(H, W, B):
+        raise ValueError(
+            f"fused window kernel unsupported for grid {H}x{W}, block {B}: "
+            "clamped window starts would violate the pl.multiple_of "
+            "alignment contract (need H%8==0 or full-height window, and "
+            "W%128==0 or full-width window). Use impl='auto' or 'xla'.")
     SX, SY = fused_window_sizes(H, W, B)
 
     def kernel(geom_ref, fvals_ref, cons_hbm, fields_in, fraw_ref, edge_hbm,
@@ -212,7 +218,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         rate = jnp.minimum(1.0, jnp.exp(loss_prev - loss_next))
         accept = u <= rate
 
-        acc_ref[i, 0] = accept.astype(jnp.float32)
+        acc_ref[i, 0] = (accept & ~viol).astype(jnp.float32)
         delta_ref[i, 0] = jnp.where(accept & ~viol, delta, 0.0)
         ddata_ref[i, 0] = jnp.where(accept & ~viol, delta_data, 0.0)
 
