@@ -114,21 +114,19 @@ def measure_cpu_baseline(p, chain, n_iter=150):
     twin.run(p["initial_bed"], n_iter, region_cells)
     dt = time.time() - t0
     per_chain = (n_iter - 1) / dt
-    try:
-        import multiprocessing
-        cores = multiprocessing.cpu_count()
-    except Exception:
-        cores = 1
+    cores = _cores()
     log(f"[bench] CPU twin: {per_chain:.1f} it/s/chain x {cores} cores")
     return per_chain * cores, per_chain
 
 
-def measure_tpu(chain, segment=100, min_seconds=8.0, max_iters=4000):
+def measure_tpu(chain, n_chains=N_CHAINS, segment=100, min_seconds=8.0,
+                max_iters=4000, label="TPU"):
     import jax
     from mcmc_tpu.parallel import MultiChainSampler
+    from mcmc_tpu.parallel import diagnostics as diag
 
     log(f"[bench] devices: {jax.devices()}")
-    sampler = MultiChainSampler(chain, n_chains=N_CHAINS)
+    sampler = MultiChainSampler(chain, n_chains=n_chains)
     states = sampler.init(seeds=0)
     # warmup/compile (segment-sized dispatches: very long single executions
     # can trip device-side execution limits on tunneled TPUs)
@@ -136,25 +134,106 @@ def measure_tpu(chain, segment=100, min_seconds=8.0, max_iters=4000):
     states, _ = sampler.run_segment(states, segment)
     _ = float(np.asarray(states.loss_mc)[0])  # real sync (block_until_ready
     # does not wait for execution on the tunneled axon backend)
-    log(f"[bench] warmup (compile): {time.time() - t0:.1f}s")
+    log(f"[bench] {label} warmup (compile): {time.time() - t0:.1f}s")
     # timed adaptive loop
     done = 0
     accs = []
+    losses = []
     t0 = time.time()
     while (time.time() - t0 < min_seconds) and done < max_iters:
         states, traces = sampler.run_segment(states, segment)
-        acc = np.asarray(traces["step"]).mean()  # transfer = real sync
+        step_np = np.asarray(traces["step"])     # transfer = real sync
+        losses.append(np.asarray(traces["loss"]))
         done += segment
-        accs.append(acc)
+        accs.append(step_np.mean())
     dt = time.time() - t0
-    rate = done * N_CHAINS / dt
+    rate = done * n_chains / dt
     loss = np.asarray(states.loss_mc)
-    log(f"[bench] TPU: {done} iters x {N_CHAINS} chains in {dt:.2f}s "
+    # ESS/sec of the loss trace over the timed window (chains, time);
+    # transient-dominated, so a conservative lower bound of sampling power
+    loss_trace = np.concatenate(losses, axis=0).T
+    ess = float(np.asarray(diag.ess(loss_trace)))
+    ess_rate = ess / dt
+    log(f"[bench] {label}: {done} iters x {n_chains} chains in {dt:.2f}s "
         f"-> {rate:,.0f} chain-it/s | acc {np.mean(accs):.3f} | "
+        f"ESS(loss) {ess:.1f} -> {ess_rate:.1f} ESS/s | "
         f"loss finite: {np.isfinite(loss).all()}")
     if not np.isfinite(loss).all():
         raise RuntimeError("non-finite loss in benchmark run")
-    return rate
+    return rate, ess_rate
+
+
+def make_sgs_chain(p):
+    """Small-scale chain at the production configuration
+    (smallScaleChain_multiprocessing.py:403-585: blocks 5-20,
+    set_sgs_param(48, 30e3), detrend + 1000-quantile transform)."""
+    from scipy.ndimage import gaussian_filter
+
+    from mcmc_tpu.models.chain_sgs import ChainSGS
+    from mcmc_tpu.ops.transforms import NormalScoreTransform
+
+    chain = ChainSGS(p["xx"], p["yy"], p["initial_bed"], p["surf"], p["velx"],
+                     p["vely"], p["dhdt"], p["smb"], p["cond_bed"],
+                     p["data_mask"], p["grounded"], p["resolution"])
+    chain.set_update_region(True, p["region"])
+    chain.set_loss_type(sigma_mc=SIGMA_MC, massConvInRegion=True)
+    trend = gaussian_filter(p["initial_bed"], sigma=10).astype(np.float32)
+    chain.set_trend(trend, detrend_map=True)
+    nst = NormalScoreTransform.fit((p["initial_bed"] - trend).ravel(), 1000)
+    chain.set_normal_transformation(nst, do_transform=True)
+    chain.set_variogram("Matern", 10e3, 1.0, 0.0, vario_smoothness=1.3)
+    chain.set_sgs_param(48, 30e3)
+    chain.set_block_sizes(5, 20, 5, 20)
+    return chain
+
+
+def measure_cpu_sgs_baseline(p, chain, n_iter=4):
+    """Sequential-SGS twin it/s (same config) x physical cores."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import reference_impl as ref
+
+    vario = {"azimuth": 0.0, "nugget": 0.0, "major_range": 10e3,
+             "minor_range": 10e3, "sill": 1.0, "vtype": "Matern", "s": 1.3}
+    consts = dict(surf=p["surf"], velx=p["velx"], vely=p["vely"],
+                  dhdt=p["dhdt"], smb=p["smb"],
+                  region_mask=p["region"].astype(float),
+                  mc_mask=p["region"].astype(float),
+                  grounded=p["grounded"].astype(float),
+                  cond_bed=p["cond_bed"], sigma_mc=SIGMA_MC, resolution=RES)
+
+    class _NST:
+        def __init__(self, nst):
+            self.nst = nst
+
+        def transform(self, a):
+            # np.array (copy) — jnp outputs are read-only as np views
+            return np.array(self.nst.transform(a.reshape(-1))).reshape(a.shape)
+
+        def inverse_transform(self, a):
+            return np.array(self.nst.inverse(a.reshape(-1))).reshape(a.shape)
+
+    twin = ref.ReferenceSGSChain(consts, vario, (5, 20, 5, 20), 48, 30e3,
+                                 nst=_NST(chain.nst_trans), trend=chain.trend,
+                                 seed=3)
+    t0 = time.time()
+    twin.run(p["initial_bed"], n_iter, p["xx"], p["yy"])
+    dt = time.time() - t0
+    per_chain = (n_iter - 1) / dt
+    cores = _cores()
+    log(f"[bench] CPU SGS twin: {per_chain:.2f} it/s/chain x {cores} cores")
+    return per_chain * cores, per_chain
+
+
+def _cores():
+    try:
+        import multiprocessing
+
+        return multiprocessing.cpu_count()
+    except Exception:
+        return 1
+
+
+N_CHAINS_SGS = 256
 
 
 def main():
@@ -162,12 +241,30 @@ def main():
     chain = make_chain(p)
     chain.set_crf_data_weight()
     cpu_farm, cpu_single = measure_cpu_baseline(p, chain)
-    tpu_rate = measure_tpu(chain)
+    tpu_rate, ess_rate = measure_tpu(chain, label="TPU CRF")
+
+    sgs_chain = make_sgs_chain(p)
+    sgs_cpu_farm, sgs_cpu_single = measure_cpu_sgs_baseline(p, sgs_chain)
+    sgs_rate, sgs_ess_rate = measure_tpu(
+        sgs_chain, n_chains=N_CHAINS_SGS, segment=50, min_seconds=6.0,
+        max_iters=2000, label="TPU SGS")
+
     result = {
         "metric": f"chain_iters_per_sec_{N_CHAINS}chains_{GRID}x{GRID}",
         "value": round(tpu_rate, 1),
         "unit": "chain-iterations/sec",
         "vs_baseline": round(tpu_rate / cpu_farm, 2),
+        # context so the headline is honest (VERDICT.md weak #6): the
+        # baseline is the measured single-core twin x all physical cores
+        "cpu_cores": _cores(),
+        "cpu_twin_it_per_sec_single_core": round(cpu_single, 2),
+        "ess_loss_per_sec": round(ess_rate, 2),
+        # small-scale (SGS) chain family, same keys
+        "sgs_chain_iters_per_sec": round(sgs_rate, 1),
+        "sgs_vs_baseline": round(sgs_rate / max(sgs_cpu_farm, 1e-9), 2),
+        "sgs_cpu_twin_it_per_sec_single_core": round(sgs_cpu_single, 3),
+        "sgs_ess_loss_per_sec": round(sgs_ess_rate, 2),
+        "sgs_n_chains": N_CHAINS_SGS,
     }
     print(json.dumps(result))
 

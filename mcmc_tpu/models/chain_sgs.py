@@ -14,15 +14,17 @@ reference MCMC.py:1545-1561, honored jointly instead of per-cell) —
 
     x | y_C = x_u + Sigma_{:,C} w,   (Sigma_CC + eps I) w = (y - x_u)_C
 
-where x_u is an unconditional field drawn through a host-precomputed
-Cholesky factor of the STATIONARY window covariance (the direct-
-factorization direction the upstream README itself plans,
-reference README.md:21-23), the conditioning subset is selected with one
-``lax.top_k`` over distance-to-block, and the K-dim solve is
-fixed-iteration batched CG (ops/kriging.masked_cg_solve) — batched gathers
-and matvecs only, no per-step factorization, which is what the TPU wants
-(packing the system from SB^2~576 dims down to K~48 is also the main SGS
-throughput lever).  Proposing from the (near-)exact conditional prior makes
+where x_u is an unconditional field drawn by circulant embedding of the
+STATIONARY window covariance (one FFT pair; the direct-factorization
+direction the upstream README itself plans, reference README.md:21-23),
+the conditioning subset is selected with one ``lax.top_k`` over
+distance-to-block, the K-dim solve is fixed-iteration batched CG
+(ops/kriging.masked_cg_solve), and the kriging adjustment Sigma_{:,C} w is
+a covariance-stamp convolution (a second FFT pair against the same
+precomputed spectrum) — batched FFTs, gathers and matvecs only, no
+per-step factorization, which is what the TPU wants (replacing the two
+(SB^2)x(SB^2) matmuls with FFTs and packing the solve from SB^2~576 dims
+down to K~48 are the main SGS throughput levers).  Proposing from the (near-)exact conditional prior makes
 the reference's likelihood-only MH acceptance rule (nearly) exact — prior
 terms cancel in the MH ratio — where octant-limited sequential SGS only
 approximates it.  Parity with the reference is therefore statistical (same
@@ -68,7 +70,7 @@ import numpy as np
 from ..ops.covariance import CovarianceSpec, make_rotation_matrix
 from ..ops.kriging import masked_cg_solve
 from ..ops.physics import mass_conservation_residual, masked_gaussian_loss, masked_sq_sum
-from ..ops.transforms import NormalScoreTransform
+from ..ops.transforms import NormalScoreLUT, NormalScoreTransform
 from ..utils.config import LossConfig, SGSParams, VariogramConfig
 from ..utils.rng import as_key
 
@@ -90,6 +92,7 @@ class SGSStatic:
     dropout: bool
     has_nugget: bool = False
     cg_iters: int = 64
+    NE: int = 0  # circulant-embedding FFT size (>= 2*SB)
 
 
 @dataclasses.dataclass
@@ -99,9 +102,12 @@ class SGSConsts:
     stacked: jnp.ndarray
     region_cells: jnp.ndarray
     sample_ij: jnp.ndarray
-    nst: NormalScoreTransform
+    nst: NormalScoreLUT  # uniform-grid LUT of the fitted transform (hot path)
     window_cov: jnp.ndarray   # (SB*SB, SB*SB) stationary window covariance
-    window_chol: jnp.ndarray  # its Cholesky factor (host-precomputed)
+    embed_spec: jnp.ndarray   # (NE, NE) exact circulant spectrum of the
+    #                           covariance stamp (adjustment convolution)
+    embed_sqrt: jnp.ndarray   # (NE, NE) sqrt of the clamped spectrum
+    #                           (unconditional circulant-embedding draw)
     rot: jnp.ndarray          # (2, 2) anisotropy matrix
     sill: jnp.ndarray
     nugget: jnp.ndarray
@@ -189,6 +195,38 @@ for _cls in (SGSConsts, SGSState):
     )
 
 
+def _embedding_spectra(spec, rot_np, sill, nugget, SB, resolution):
+    """Circulant-embedding spectra of the stationary window covariance.
+
+    Periodizes the covariance stamp C(offset) on an (N, N) torus with
+    N >= 2*SB (exact linear convolution for all window offsets), doubling N
+    until the embedding is (near-)nonnegative-definite or N hits 8*SB.
+    Returns (exact spectrum f32 (N, N)  — used for the kriging-adjustment
+    convolution, sign-indifferent;  sqrt of the clamped spectrum f32 —
+    used for the unconditional draw, rescaled so the marginal variance is
+    exactly C(0); N).
+    """
+    from ..ops.covariance import covariance_norm as _covn
+
+    N = 2 * SB
+    while True:
+        k = np.arange(N)
+        off = np.where(k <= N // 2, k, k - N)
+        di, dj = np.meshgrid(off, off, indexing="ij")
+        pts = np.stack([dj.ravel() * resolution,
+                        di.ravel() * resolution], -1) @ rot_np
+        d = np.sqrt((pts ** 2).sum(-1)).reshape(N, N)
+        stamp = np.asarray(_covn(spec, d, sill, nugget), np.float64)
+        E = np.fft.fft2(stamp).real
+        if E.min() > -1e-6 * E.max() or N >= 8 * SB:
+            break
+        N *= 2
+    Ec = np.maximum(E, 0.0)
+    var = Ec.mean()  # realized marginal variance of the clamped draw
+    sqrtE = np.sqrt(Ec * (stamp[0, 0] / max(var, 1e-300)))
+    return E.astype(np.float32), sqrtE.astype(np.float32), N
+
+
 @jax.jit
 def sgs_init_state(bed_detrended, key, consts: SGSConsts) -> SGSState:
     bed = jnp.asarray(bed_detrended, jnp.float32)
@@ -204,13 +242,13 @@ def sgs_init_state(bed_detrended, key, consts: SGSConsts) -> SGSState:
 
 def make_sgs_kernel(static: SGSStatic):
     """MH update core with injectable randomness:
-    (consts, state, cx, cy, bsx, bsy, noise (SB*SB [+SB*SB if nugget],),
+    (consts, state, cx, cy, bsx, bsy, noise (NE*NE [+SB*SB if nugget],),
     drop_u (SB,SB), u, key)."""
-    H, W, SB, BMX, BMY, M = (static.H, static.W, static.SB, static.BMX,
-                             static.BMY, static.M)
+    H, W, SB, BMX, BMY, M, NE = (static.H, static.W, static.SB, static.BMX,
+                                 static.BMY, static.M, static.NE)
 
     def drop_u_nugget(noise):
-        return noise[SB * SB:].reshape(SB, SB)
+        return noise[NE * NE:].reshape(SB, SB)
 
     def mh_update(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
                   noise, drop_u, u, key):
@@ -255,23 +293,26 @@ def make_sgs_kernel(static: SGSStatic):
 
         # --- conditional draw by conditioning-by-kriging ---------------------
         # x | y_C = x_u + Sigma_{:,C} w,  (Sigma_CC + eps) w = (y - x_u)_C
-        # with x_u an exact unconditional field drawn through the
-        # host-precomputed Cholesky factor of the STATIONARY window
-        # covariance (the window grid's offsets never change, so one factor
-        # serves every step).  The conditioning set C is PACKED: the K =
-        # num_neighbors nearest conditioning cells within search_radius of
-        # the block (set_sgs_param semantics, reference MCMC.py:1545-1561,
+        # with x_u an unconditional field drawn by CIRCULANT EMBEDDING
+        # (Dietrich & Newsam): the stationary covariance's stamp is
+        # periodized on an (NE, NE) grid host-side, so the draw is one FFT
+        # pair instead of a (SB^2, SB^2) Cholesky matvec — the dominant cost
+        # of the step (measured 2026-08-16: the two SB^4 matmuls were ~70%
+        # of the 23 ms step-batch).  The conditioning set C is PACKED: the
+        # K = num_neighbors nearest conditioning cells within search_radius
+        # of the block (set_sgs_param semantics, reference MCMC.py:1545-1561,
         # applied jointly) selected by one lax.top_k; the K-dim solve is
         # fixed-iteration batched CG — batched matvecs, no per-step
-        # sequential Cholesky (a vmapped 400-dim Cholesky costs ~20ms/chain
-        # on TPU; this whole draw is a few gathers + matmuls).  CG tolerance
-        # makes the proposal approximately (not bitwise) the conditional
-        # prior — the same approximation class as the reference's
-        # octant-limited sequential SGS.
+        # sequential Cholesky.  The kriging adjustment Sigma_{:,C} w is a
+        # convolution with the SAME covariance stamp (stationarity), i.e.
+        # the second FFT pair, exact because NE >= 2*SB.  CG tolerance and
+        # spectrum clamping make the proposal approximately (not bitwise)
+        # the conditional prior — the same approximation class as the
+        # reference's octant-limited sequential SGS.
         hi = jax.lax.Precision.HIGHEST
-        z_u = jnp.matmul(consts.window_chol, noise[:SB * SB],
-                         precision=hi).reshape(SB, SB)
-        z_u = z_u + consts.mean_z
+        wn = noise[:NE * NE].reshape(NE, NE)
+        z_big = jnp.fft.ifft2(jnp.fft.fft2(wn) * consts.embed_sqrt).real
+        z_u = z_big[:SB, :SB] + consts.mean_z
         # distance (meters) from each window cell to the nearest block cell;
         # in-block data cells are at distance 0 and always selected first
         euclid = (jnp.sqrt(jnp.square(rd[:, None].astype(jnp.float32))
@@ -287,11 +328,15 @@ def make_sgs_kernel(static: SGSStatic):
         S_cc = consts.window_cov[top_idx[:, None], top_idx[None, :]]
         eps = 1e-3 * jnp.maximum(consts.sill, 1.0)
         w_p = masked_cg_solve(S_cc, m_sel, rhs_p, eps, static.cg_iters)
-        # scatter packed weights back to the window and apply Sigma_{:,C}
+        # scatter packed weights back to the window; Sigma_{:,C} w is a
+        # covariance-stamp convolution (stationarity) -> FFT with the exact
+        # spectrum (no wraparound: NE >= 2*SB covers all window offsets)
         w_full = jnp.zeros((SB * SB,), jnp.float32).at[top_idx].add(
             jnp.where(sel, w_p, 0.0))
-        adj = jnp.matmul(w_full, consts.window_cov,
-                         precision=hi).reshape(SB, SB)
+        w_pad = jnp.zeros((NE, NE), jnp.float32).at[:SB, :SB].set(
+            w_full.reshape(SB, SB))
+        adj = jnp.fft.ifft2(jnp.fft.fft2(w_pad)
+                            * consts.embed_spec).real[:SB, :SB]
         z_draw = z_u + adj
         if static.has_nugget:
             z_draw = z_draw + jnp.sqrt(consts.nugget) * drop_u_nugget(noise)
@@ -377,8 +422,8 @@ def make_sgs_kernel(static: SGSStatic):
 
 def make_sgs_step(static: SGSStatic):
     mh_update = make_sgs_kernel(static)
-    SB2 = static.SB * static.SB
-    n_noise = SB2 * 2 if static.has_nugget else SB2
+    NE2 = static.NE * static.NE
+    n_noise = NE2 + static.SB * static.SB if static.has_nugget else NE2
 
     def step(consts: SGSConsts, state: SGSState):
         key, k_c, k_bx, k_by, k_noise, k_drop, k_u = jax.random.split(state.key, 7)
@@ -607,17 +652,24 @@ class ChainSGS:
                     quantiles=np.asarray(nst.quantiles_).ravel(),
                     references=np.asarray(nst.references_).ravel())
             # apply the reference's whole-grid transform->inverse clamp once
-            bed0 = np.asarray(nst.inverse(nst.transform(bed0)), np.float32)
-            z_cond = np.asarray(nst.transform(
+            # (host NumPy twins: same numerics, no eager device dispatch)
+            bed0 = np.asarray(nst.inverse_np(nst.transform_np(bed0)), np.float32)
+            z_cond = np.asarray(nst.transform_np(
                 np.where(np.isnan(cond0), 0.0, cond0)), np.float32)
             z_cond = np.where(dmask, z_cond, 0.0)
             mean_z = 0.0
+            lut = NormalScoreLUT.from_transform(nst)
         else:
             nst = NormalScoreTransform(quantiles=np.array([0.0, 1.0]),
                                        references=np.array([0.0, 1.0]))
             z_cond = np.where(dmask, np.nan_to_num(cond0), 0.0)
             mean_z = float(np.nanmean(cond0)) if np.isfinite(
                 np.nanmean(cond0)) else 0.0
+            # placeholder identity LUT: use_transform=False never calls it
+            eye = jnp.asarray(np.array([[0.0, 1.0], [1.0, 1.0]], np.float32))
+            lut = NormalScoreLUT(fwd_lo=jnp.float32(0), fwd_scale=jnp.float32(1),
+                                 fwd_table=eye, inv_lo=jnp.float32(0),
+                                 inv_scale=jnp.float32(1), inv_table=eye)
 
         # initial-bed sanity (block-local guard equivalence, see docstring)
         viol0 = np.sum(((self.surf - self.initial_bed) <= 0)
@@ -652,15 +704,9 @@ class ChainSGS:
         wcov = np.asarray(_covn(spec, dist, self.vario.sill,
                                 self.vario.nugget), np.float64)
         wcov = 0.5 * (wcov + wcov.T)
-        jit0 = 1e-6 * max(self.vario.sill, 1.0)
-        for _ in range(8):
-            try:
-                wchol = np.linalg.cholesky(wcov + jit0 * np.eye(SB * SB))
-                break
-            except np.linalg.LinAlgError:
-                jit0 *= 10.0
-        else:
-            raise RuntimeError("window covariance not factorizable")
+        embed_spec, embed_sqrt, NE = _embedding_spectra(
+            spec, rot_np, self.vario.sill, self.vario.nugget, SB,
+            self.resolution)
         sample_ij = self._sample_ij()
         dropout = bool(self.sgs_params.rand_dropout_on
                        and self.sgs_params.dropout_rate > 0)
@@ -673,7 +719,7 @@ class ChainSGS:
             spec=spec, use_transform=self.do_transform,
             detrend=self.detrend_map, dropout=dropout,
             has_nugget=self.vario.nugget > 0,
-            cg_iters=cg_iters)
+            cg_iters=cg_iters, NE=NE)
         stacked = np.stack([
             self.surf, self.velx, self.vely, self.dhdt, self.smb,
             np.asarray(trend, np.float32),
@@ -686,11 +732,10 @@ class ChainSGS:
             stacked=jnp.asarray(stacked),
             region_cells=jnp.asarray(region, jnp.int32),
             sample_ij=jnp.asarray(sample_ij, jnp.int32),
-            nst=NormalScoreTransform(
-                quantiles=jnp.asarray(nst.quantiles, jnp.float32),
-                references=jnp.asarray(nst.references, jnp.float32)),
+            nst=lut,
             window_cov=jnp.asarray(wcov, jnp.float32),
-            window_chol=jnp.asarray(wchol, jnp.float32),
+            embed_spec=jnp.asarray(embed_spec),
+            embed_sqrt=jnp.asarray(embed_sqrt),
             rot=jnp.asarray(make_rotation_matrix(
                 self.vario.azimuth, self.vario.major_range,
                 self.vario.minor_range), jnp.float32),

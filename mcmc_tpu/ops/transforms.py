@@ -77,9 +77,115 @@ class NormalScoreTransform:
         out = jnp.where(p == 1.0, q[-1], out)
         return jnp.where(jnp.isnan(zj), jnp.nan, out)
 
+    # --- host-side (NumPy) twins: same numerics, no device dispatch ---------
+    # (build-time uses these; eager jnp ops on a remote TPU backend cost
+    # seconds each, and LUT construction needs thousands of evaluations)
+
+    def transform_np(self, x):
+        from scipy.special import ndtri as _ndtri
+
+        q = np.asarray(self.quantiles, np.float64)
+        r = np.asarray(self.references, np.float64)
+        xj = np.asarray(x, np.float64)
+        fwd = np.interp(xj, q, r)
+        bwd = -np.interp(-xj, -q[::-1], -r[::-1])
+        p = 0.5 * (fwd + bwd)
+        p = np.where(xj == q[-1], 1.0, p)
+        p = np.where(xj == q[0], 0.0, p)
+        with np.errstate(invalid="ignore"):
+            out = _ndtri(p)
+        clip_min = _ndtri(_BOUNDS_THRESHOLD - np.spacing(1))
+        clip_max = _ndtri(1.0 - (_BOUNDS_THRESHOLD - np.spacing(1)))
+        out = np.clip(out, clip_min, clip_max)
+        return np.where(np.isnan(xj), np.nan, out)
+
+    def inverse_np(self, z):
+        from scipy.special import ndtr as _ndtr
+
+        q = np.asarray(self.quantiles, np.float64)
+        r = np.asarray(self.references, np.float64)
+        zj = np.asarray(z, np.float64)
+        p = _ndtr(zj)
+        out = np.interp(p, r, q)
+        out = np.where(p == 0.0, q[0], out)
+        out = np.where(p == 1.0, q[-1], out)
+        return np.where(np.isnan(zj), np.nan, out)
+
     # pytree flattening so the transform can live inside jitted closures
     def tree_flatten(self):
         return (self.quantiles, self.references), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@dataclasses.dataclass
+class NormalScoreLUT:
+    """Uniform-grid lookup tables of a fitted normal-score transform — the
+    device HOT-PATH form.
+
+    ``jnp.interp`` over the non-uniform quantile table lowers to a binary
+    search: ~10 sequential gathers per call, measured at ~20 ms of a 24 ms
+    SGS step-batch (2026-08-16, 64 chains).  Resampling the (piecewise-
+    linear) transform onto a uniform grid makes each lookup pure index
+    arithmetic plus ONE pair-gather.  The exact transform stays the host
+    API (NormalScoreTransform); the LUT is an interpolation of it with
+    resolution ``n`` (default 4096: grid spacing ~0.02% of the data range,
+    far below proposal noise).
+    """
+
+    fwd_lo: jnp.ndarray      # scalar: first x knot
+    fwd_scale: jnp.ndarray   # scalar: 1 / dx
+    fwd_table: jnp.ndarray   # (n, 2) rows (z_i, z_{i+1})
+    inv_lo: jnp.ndarray
+    inv_scale: jnp.ndarray
+    inv_table: jnp.ndarray   # (n, 2) rows (x_i, x_{i+1})
+
+    @classmethod
+    def from_transform(cls, nst: NormalScoreTransform, n: int = 4096):
+        q = np.asarray(nst.quantiles, np.float64)
+        xg = np.linspace(q[0], q[-1], n)
+        zg = nst.transform_np(xg)
+        # inverse domain: the transform clips z to ~±5.2 (ppf at 1e-7 tails)
+        # but conditional draws can exceed it; past the knots the inverse
+        # saturates at the data range like sklearn's
+        z_lo, z_hi = -6.5, 6.5
+        zgi = np.linspace(z_lo, z_hi, n)
+        xgi = nst.inverse_np(zgi)
+
+        def pairs(t):
+            t2 = np.stack([t, np.concatenate([t[1:], t[-1:]])], axis=1)
+            return jnp.asarray(t2, jnp.float32)
+
+        return cls(
+            fwd_lo=jnp.float32(xg[0]),
+            fwd_scale=jnp.float32((n - 1) / (xg[-1] - xg[0])),
+            fwd_table=pairs(zg),
+            inv_lo=jnp.float32(z_lo),
+            inv_scale=jnp.float32((n - 1) / (z_hi - z_lo)),
+            inv_table=pairs(xgi),
+        )
+
+    @staticmethod
+    def _lookup(x, lo, scale, table):
+        n = table.shape[0]
+        t = jnp.clip((jnp.asarray(x) - lo) * scale, 0.0, n - 1.000001)
+        i = jnp.floor(t).astype(jnp.int32)
+        f = (t - i.astype(t.dtype))[..., None]
+        pair = table[i]                       # one gather of (.., 2)
+        y = pair[..., 0] * (1.0 - f[..., 0]) + pair[..., 1] * f[..., 0]
+        return jnp.where(jnp.isnan(jnp.asarray(x)), jnp.nan, y)
+
+    def transform(self, x):
+        return self._lookup(x, self.fwd_lo, self.fwd_scale, self.fwd_table)
+
+    def inverse(self, z):
+        return self._lookup(z, self.inv_lo, self.inv_scale, self.inv_table)
+
+    def tree_flatten(self):
+        return (self.fwd_lo, self.fwd_scale, self.fwd_table,
+                self.inv_lo, self.inv_scale, self.inv_table), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -92,4 +198,9 @@ _tu.register_pytree_node(
     NormalScoreTransform,
     NormalScoreTransform.tree_flatten,
     NormalScoreTransform.tree_unflatten,
+)
+_tu.register_pytree_node(
+    NormalScoreLUT,
+    NormalScoreLUT.tree_flatten,
+    NormalScoreLUT.tree_unflatten,
 )

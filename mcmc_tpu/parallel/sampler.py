@@ -179,7 +179,8 @@ class MultiChainSampler:
                 nst = NormalScoreTransform(
                     quantiles=np.asarray(nst.quantiles_).ravel(),
                     references=np.asarray(nst.references_).ravel())
-            out = np.asarray(nst.inverse(nst.transform(out)), np.float32)
+            # host NumPy twins: eager jnp on a remote backend costs seconds
+            out = np.asarray(nst.inverse_np(nst.transform_np(out)), np.float32)
         return out if out.shape[0] > 1 else out[0]
 
     # -- execution ----------------------------------------------------------

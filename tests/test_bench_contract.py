@@ -44,3 +44,13 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+    def test_sgs_chain_and_cpu_baseline(self):
+        import bench
+
+        p = bench.build_problem(H=128, W=128)
+        chain = bench.make_sgs_chain(p)
+        static, _ = chain.build()
+        assert static.K == 48 and static.M == 8
+        farm_rate, single = bench.measure_cpu_sgs_baseline(p, chain, n_iter=3)
+        assert single > 0 and farm_rate >= single
