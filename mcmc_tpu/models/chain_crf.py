@@ -356,7 +356,9 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
     # without a nugget (the production configs), the kernel finishes the
     # proposal itself (standardize/scale/edge) from the raw spectral field;
     # the nugget path pre-assembles the canvas in XLA like draw_block
-    prefinished = static.rf.has_nugget
+    # prefinished also covers the gstools-SRF method: its blocks must NOT be
+    # standardized in-kernel, so they are fully assembled by draw_block
+    prefinished = static.rf.has_nugget or not static.rf.spectral
     fused = make_fused_window_update(H, W, B, interpret=interpret,
                                      use_data_loss=static.use_data_loss,
                                      prefinished=prefinished)

@@ -6,11 +6,15 @@ discrete block-size menu and the stacked logistic edge masks; the device-side
 ``draw_block`` produces one edge-masked, standardized, scaled field per call
 on a fixed (B, B) canvas using a single statically-shaped FFT.
 
-The gstools-SRF generation path of the reference (MCMC.py:657-687) is a
-third-party randomization method; all production drivers use
-``spectral=True`` (largeScaleChain_multiprocessing.py:588), and spectral
-synthesis is the TPU path here.  ``spectral=False`` raises with a pointer to
-the host fallback in tests/reference_impl.py.
+Both of the reference's generation methods are supported:
+``spectral=True`` (FFT spectral synthesis, the fast TPU path all production
+drivers use — largeScaleChain_multiprocessing.py:588) and
+``spectral=False``, the gstools-SRF path (MCMC.py:657-687), implemented
+natively as the randomization method in ops/srf.py (1000 sampled
+wavevectors per draw; statistically equivalent, considerably more FLOPs —
+mirroring the reference's own "spectral synthesis is significantly faster"
+note).  SRF realizations are NOT standardized, matching gstools
+(SURVEY.md §8.11 contrast).
 """
 
 from __future__ import annotations
@@ -47,6 +51,7 @@ class RandFieldStatic:
     B: int  # padded canvas size >= max block dim
     resolution: float
     has_nugget: bool = True
+    spectral: bool = True  # False -> gstools-SRF randomization method
 
 
 @dataclasses.dataclass
@@ -77,12 +82,6 @@ _tu.register_pytree_node(
 def build_randfield(rf_cfg: RandFieldConfig, blocks: BlockMenuConfig,
                     weights: WeightConfig) -> Tuple[RandFieldStatic, RandFieldArrays]:
     """Host-side setup: block menu + stacked edge masks + padded canvas size."""
-    if not rf_cfg.spectral:
-        raise NotImplementedError(
-            "gstools-SRF generation (spectral=False) is a host-only method in the "
-            "reference; the TPU path is spectral synthesis. A NumPy cross-check "
-            "implementation lives in tests/reference_impl.py."
-        )
     pairs = make_block_menu(blocks)
     n_sizes = pairs.shape[1]
     B = int(max(pairs.max(), 2))
@@ -101,6 +100,7 @@ def build_randfield(rf_cfg: RandFieldConfig, blocks: BlockMenuConfig,
         B=B,
         resolution=weights.resolution,
         has_nugget=rf_cfg.nugget_max > 0,
+        spectral=rf_cfg.spectral,
     )
     arrays = RandFieldArrays(
         pairs=jnp.asarray(pairs, jnp.int32),
@@ -138,19 +138,37 @@ def draw_block(key, static: RandFieldStatic, arrays: RandFieldArrays):
         arrays.range_min_y, arrays.range_max_y, static.isotropic,
     )
 
-    raw = spectral_field(k_field, (B, B), static.resolution, static.model_name,
-                         range_x, range_y, static.smoothness)
-
     bi = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
     bj = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
     block_mask = (bi < h) & (bj < w)
 
-    f = standardize_masked(raw, block_mask)
-    if static.has_nugget:
-        nugget_noise = jax.random.normal(k_nug, (B, B)) * jnp.sqrt(nug)
-        f = (f * scale + nugget_noise) * block_mask.astype(jnp.float32)
+    if static.spectral:
+        raw = spectral_field(k_field, (B, B), static.resolution,
+                             static.model_name, range_x, range_y,
+                             static.smoothness)
+        f = standardize_masked(raw, block_mask)
+        if static.has_nugget:
+            nugget_noise = jax.random.normal(k_nug, (B, B)) * jnp.sqrt(nug)
+            f = (f * scale + nugget_noise) * block_mask.astype(jnp.float32)
+        else:
+            f = f * scale * block_mask.astype(jnp.float32)
     else:
-        f = f * scale * block_mask.astype(jnp.float32)
+        # gstools-SRF path (reference MCMC.py:742-778 + 657-687): the
+        # randomization-method field is NOT standardized, the nugget is part
+        # of the model (white noise before scaling), and anisotropic models
+        # sample an azimuth uniform in [0, 180) degrees (MCMC.py:652)
+        from ..ops.srf import srf_field
+
+        k_field, k_ang = jax.random.split(k_field)
+        angle = (0.0 if static.isotropic else
+                 jax.random.uniform(k_ang, (), minval=0.0,
+                                    maxval=jnp.pi))
+        raw = srf_field(k_field, (B, B), static.resolution,
+                        static.model_name, range_x, range_y,
+                        static.smoothness, angle)
+        if static.has_nugget:
+            raw = raw + jax.random.normal(k_nug, (B, B)) * jnp.sqrt(nug)
+        f = raw * scale * block_mask.astype(jnp.float32)
     f = f * arrays.edge_masks[size_idx]
     return f, size_idx, w, h
 
@@ -182,11 +200,10 @@ class RandField:
         self._built = None
 
     def set_generation_method(self, spectral):
-        if not spectral:
-            raise NotImplementedError(
-                "gstools-SRF generation is host-only in the reference; the "
-                "TPU path is spectral synthesis (production drivers use "
-                "spectral=True, largeScaleChain_multiprocessing.py:588)")
+        import dataclasses as _dc
+
+        self.config = _dc.replace(self.config, spectral=bool(spectral))
+        self._built = None
 
     def set_block_sizes(self, min_block_x, max_block_x, min_block_y,
                         max_block_y, steps=5):
@@ -254,7 +271,8 @@ class RandField:
         return np.asarray(w), np.asarray(dist), np.asarray(dr), np.asarray(dl)
 
     def get_random_field(self, X, Y, n=1):
-        """Spectral field realizations on an (len(Y), len(X)) grid.
+        """Field realizations on an (len(Y), len(X)) grid, by the configured
+        generation method (set_generation_method / config.spectral).
 
         Note: the reference allocates n fields but returns only the first
         (quirk, MCMC.py:678-687); here n fields are returned when n > 1.
@@ -267,15 +285,25 @@ class RandField:
         cfg = self.config
         out = []
         for _ in range(int(n)):
-            self._key, k1, k2, k3 = jax.random.split(self._key, 4)
+            self._key, k1, k2, k3, k4 = jax.random.split(self._key, 5)
             scale, nug, rx, ry = sample_field_params(
                 k1, cfg.scale_min, cfg.scale_max, cfg.nugget_max,
                 cfg.range_min_x, cfg.range_max_x, cfg.range_min_y,
                 cfg.range_max_y, cfg.isotropic)
-            raw = spectral_field(k2, shape, res, cfg.model_name, rx, ry,
-                                 cfg.smoothness)
-            f = standardize_masked(raw, jnp.ones(shape, bool))
-            f = f * scale + jax.random.normal(k3, shape) * jnp.sqrt(nug)
+            if cfg.spectral:
+                raw = spectral_field(k2, shape, res, cfg.model_name, rx, ry,
+                                     cfg.smoothness)
+                f = standardize_masked(raw, jnp.ones(shape, bool))
+                f = f * scale + jax.random.normal(k3, shape) * jnp.sqrt(nug)
+            else:
+                from ..ops.srf import srf_field
+
+                angle = (0.0 if cfg.isotropic else float(np.asarray(
+                    jax.random.uniform(k4, (), maxval=jnp.pi))))
+                raw = srf_field(k2, shape, res, cfg.model_name, rx, ry,
+                                cfg.smoothness, angle)
+                raw = raw + jax.random.normal(k3, shape) * jnp.sqrt(nug)
+                f = raw * scale
             out.append(np.asarray(f))
         return out[0] if n == 1 else np.stack(out)
 

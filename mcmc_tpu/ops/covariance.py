@@ -31,6 +31,12 @@ _MATERN_TABLE_POINTS = 4096
 _MATERN_TABLE_HMAX = 8.0
 
 
+def matern_scale_fit(s):
+    """The reference's fitted matérn scale factor
+    (gstatsim_custom/covariance.py:19-22)."""
+    return 0.45246434 * np.exp(-0.70449189 * s) + 1.7863836
+
+
 def make_matern_table(
     s: float,
     n_points: int = _MATERN_TABLE_POINTS,

@@ -118,5 +118,8 @@ class TestRandFieldWrapper:
         fields = rf.get_random_field(np.arange(16) * 500.0,
                                      np.arange(16) * 500.0, n=2)
         assert fields.shape == (2, 16, 16)
-        with pytest.raises(NotImplementedError):
-            rf.set_generation_method(False)
+        # both generation methods supported (SRF path: tests/test_srf.py)
+        rf.set_generation_method(False)
+        assert rf.config.spectral is False
+        rf.set_generation_method(True)
+        assert rf.config.spectral is True
