@@ -3,6 +3,7 @@ from .sampler import MultiChainSampler, run_chains, init_states
 from .diagnostics import split_rhat, ess, acceptance_rate
 from .grid_sharded import (
     make_sharded_crf_chain,
+    make_sharded_crf_chains,
     make_sharded_residual,
     make_sharded_loss,
     shard_grid_arrays,
@@ -20,6 +21,7 @@ __all__ = [
     "ess",
     "acceptance_rate",
     "make_sharded_crf_chain",
+    "make_sharded_crf_chains",
     "make_sharded_residual",
     "make_sharded_loss",
     "shard_grid_arrays",

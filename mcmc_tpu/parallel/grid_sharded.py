@@ -10,6 +10,15 @@ operator (reference Topography.py:592-600; stencil analysis in SURVEY.md
 numpy-gradient edge semantics are preserved: interior shards use central
 differences across shard boundaries (thanks to the halos); the first/last
 global rows keep their one-sided differences.
+
+Two sampler entry points:
+- ``make_sharded_crf_chain``: single chain, domain row-sharded;
+- ``make_sharded_crf_chains``: the combined chains x grid layout — batched
+  chains (data-parallel) whose per-chain grid is row-sharded, one program
+  over a two-axis mesh.
+Both use the INCREMENTAL windowed residual patch (chain_crf's stale-ring
+scheme, O(B^2)/step) with one (1, CW) halo flux row exchanged each way per
+step for blocks that touch shard boundaries — not a full-grid recompute.
 """
 
 from __future__ import annotations
@@ -114,99 +123,214 @@ def shard_grid_arrays(mesh: Mesh, tree, grid_axis: str = "grid"):
     return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
 
 
+def _make_local_crf_step(static, rows_local: int, grid_axis: str):
+    """Per-shard incremental CRF MH step (runs inside shard_map).
+
+    Mirrors chain_crf's windowed incremental scheme (models/chain_crf.py
+    mh_update; reference MCMC.py:1292-1315 incl. the deliberate stale
+    one-cell ring): a (RW, CW) window around the block-shard intersection is
+    sliced, the windowed residual is recomputed with numpy-gradient
+    semantics, and ONLY block cells are patched.  The one cross-shard
+    subtlety: when the block touches a shard's row boundary, the central
+    row-difference at a patched boundary row needs the neighbor's updated
+    flux row, so each step exchanges ONE (1, CW) flux row in each direction
+    with ``lax.ppermute`` — O(B^2) work + O(B) communication per step
+    instead of the previous full-grid recompute.
+
+    step(cons, state, rf_arrays, region_cells, sigma, resolution, row0,
+         loss_prev, key) -> (state', loss', accept)
+    cons: (8, rows_local, W) local planes [surf, velx, vely, dhdt, smb,
+    upd, mcf, crfw]; state: (2, rows_local, W) [bed, mc_res].
+    """
+    from ..models.randfield import draw_block
+
+    H, W, B = static.H, static.W, static.rf.B
+    n_shards = H // rows_local
+    RW = min(rows_local, B + 4)
+    CW = min(W, B + 4)
+    SM = max(RW, CW)
+    FP = 2 * SM + B  # canvas pad (chain_crf's trick)
+
+    def step(cons, state, rf_arrays, region_cells, sigma, resolution, row0,
+             loss_prev, key):
+        key, k_blk, k_c, k_u = jax.random.split(key, 4)
+        f, size_idx, w, h = draw_block(k_blk, static.rf, rf_arrays)
+        cidx = jax.random.randint(k_c, (), 0, region_cells.shape[0])
+        cx = region_cells[cidx, 0]
+        cy = region_cells[cidx, 1]
+        off_x = (2 * cx - h) // 2
+        off_y = (2 * cy - w) // 2
+        bxmin = jnp.maximum(0, off_x)
+        bxmax = jnp.minimum(H, (2 * cx + h) // 2)
+        bymin = jnp.maximum(0, off_y)
+        bymax = jnp.minimum(W, (2 * cy + w) // 2)
+
+        # window placement: covers (block ∩ shard) plus a >=2-cell margin
+        # wherever the block is interior to the shard / domain
+        ls = jnp.clip(bxmin - 2 - row0, 0, rows_local - RW)
+        cs = jnp.clip(bymin - 2, 0, W - CW)
+
+        cw = jax.lax.dynamic_slice(cons, (0, ls, cs), (8, RW, CW))
+        surf_w, velx_w, vely_w, dhdt_w, smb_w, upd_w, mcf_w, crfw_w = cw
+        sw = jax.lax.dynamic_slice(state, (0, ls, cs), (2, RW, CW))
+        bed_w, res_w = sw
+
+        gr = row0 + ls + jax.lax.broadcasted_iota(jnp.int32, (RW, CW), 0)
+        gc = cs + jax.lax.broadcasted_iota(jnp.int32, (RW, CW), 1)
+        in_block = ((gr >= bxmin) & (gr < bxmax)
+                    & (gc >= bymin) & (gc < bymax))
+
+        # proposal canvas lookup; the slice start is clipped (shards whose
+        # window does not intersect the block would index out of range) and
+        # any misalignment is masked out by in_block
+        fpad = jax.lax.dynamic_update_slice(
+            jnp.zeros((FP, FP), f.dtype), f, (SM, SM))
+        pert = jax.lax.dynamic_slice(
+            fpad,
+            (jnp.clip(SM + row0 + ls - off_x, 0, FP - RW),
+             jnp.clip(SM + cs - off_y, 0, FP - CW)),
+            (RW, CW)) * crfw_w
+        pert = jnp.where(in_block & (upd_w > 0), pert, 0.0)
+        bed_new_w = bed_w + pert
+
+        # --- windowed residual with cross-shard halo flux rows --------------
+        fx_w = velx_w * (surf_w - bed_new_w)
+        fy_w = vely_w * (surf_w - bed_new_w)
+
+        # flux rows to exchange: my boundary rows, updated iff the window
+        # (and hence possibly the block) touches them; otherwise computed
+        # from the unchanged state
+        def old_flux_row(r_loc):
+            c = jax.lax.dynamic_slice(cons, (0, r_loc, cs), (3, 1, CW))
+            b = jax.lax.dynamic_slice(state, (0, r_loc, cs), (1, 1, CW))
+            return (c[2, 0] * (c[0, 0] - b[0, 0]))  # vely*(surf-bed)
+
+        fy_first = jnp.where(ls == 0, fy_w[0], old_flux_row(0))
+        fy_last = jnp.where(ls + RW == rows_local, fy_w[-1],
+                            old_flux_row(rows_local - 1))
+        perm_fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        perm_bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        halo_top = jax.lax.ppermute(fy_last[None], grid_axis, perm_fwd)
+        halo_bot = jax.lax.ppermute(fy_first[None], grid_axis, perm_bwd)
+
+        # row above/below the window: in-shard unchanged rows when the
+        # window is interior (the stale >=2-cell margin guarantees they are
+        # unperturbed), neighbor halo rows at shard boundaries
+        top_row = jnp.where(ls > 0,
+                            old_flux_row(jnp.maximum(ls - 1, 0)),
+                            halo_top[0])
+        bot_row = jnp.where(ls + RW < rows_local,
+                            old_flux_row(jnp.minimum(ls + RW,
+                                                     rows_local - 1)),
+                            halo_bot[0])
+
+        fp_rows = jnp.concatenate([top_row[None], fy_w, bot_row[None]])
+        dy = (fp_rows[2:] - fp_rows[:-2]) / (2.0 * resolution)
+        g0 = row0 + ls
+        dy = dy.at[0].set(jnp.where(g0 == 0,
+                                    (fy_w[1] - fy_w[0]) / resolution, dy[0]))
+        dy = dy.at[RW - 1].set(jnp.where(
+            g0 + RW == H, (fy_w[-1] - fy_w[-2]) / resolution, dy[-1]))
+
+        # columns are unsharded: central differences valid on interior
+        # window cols (block cols are >=2 interior except at true domain
+        # edges, where one-sided applies — the chain_crf invariant)
+        dx = jnp.zeros_like(fx_w)
+        dx = dx.at[:, 1:-1].set((fx_w[:, 2:] - fx_w[:, :-2])
+                                / (2.0 * resolution))
+        dx = dx.at[:, 0].set(jnp.where(
+            cs == 0, (fx_w[:, 1] - fx_w[:, 0]) / resolution, dx[:, 0]))
+        dx = dx.at[:, -1].set(jnp.where(
+            cs + CW == W, (fx_w[:, -1] - fx_w[:, -2]) / resolution,
+            dx[:, -1]))
+        res_new_w = dx + dy + dhdt_w - smb_w
+
+        # patch block cells only (stale ring, chain_crf semantics)
+        patch = in_block & (mcf_w > 0)
+
+        def nansq(x):
+            s = x * x
+            return jnp.where(jnp.isnan(s), 0.0, s)
+
+        denom = 2.0 * jnp.square(sigma)
+        d_local = (jnp.sum(jnp.where(patch, nansq(res_new_w), 0.0))
+                   - jnp.sum(jnp.where(patch, nansq(res_w), 0.0)))
+        delta = jax.lax.psum(d_local, grid_axis) / denom
+        loss_next = loss_prev + delta
+
+        viol_local = jnp.any(((surf_w - bed_new_w) <= 0.0) & in_block
+                             & (upd_w > 0))
+        viol = jax.lax.psum(viol_local.astype(jnp.int32), grid_axis) > 0
+        loss_next = jnp.where(viol, jnp.inf, loss_next)
+
+        u = jax.random.uniform(k_u, ())
+        accept = u <= jnp.minimum(1.0, jnp.exp(loss_prev - loss_next))
+        write = accept & ~viol
+
+        res_patched_w = jnp.where(in_block, res_new_w, res_w)
+        new_w = jnp.stack([
+            jnp.where(write, bed_new_w, bed_w),
+            jnp.where(write, res_patched_w, res_w),
+        ])
+        state = jax.lax.dynamic_update_slice(state, new_w, (0, ls, cs))
+        loss = jnp.where(write, loss_next, loss_prev)
+        return state, loss, key, accept
+
+    return step
+
+
 def make_sharded_crf_chain(mesh: Mesh, static, grid_axis: str = "grid"):
     """Single-chain CRF sampler with the 2D domain row-sharded over devices.
 
     The pod-scale single-realization mode (SURVEY.md §5.7): for grids too
     large for one device's HBM, the bed/residual state lives sharded
     P(grid_axis, None); every device draws the SAME proposal (replicated
-    keys), applies its local rows, and the accept decision uses a psum'd
-    full-grid loss with ppermute halo exchange for the gradient stencil.
-
-    Semantics: full-grid residual recompute per iteration (the chain_sgs /
-    cross-check mode — not chain_crf's stale-ring incremental patch), loss
-    over the mc mask, thickness guard over the update mask.
+    keys), patches its local window (incremental stale-ring residual, the
+    chain_crf scheme — O(B^2) per step, one halo flux row each way), and
+    the accept decision uses psum'd loss deltas.
 
     Returns run(bed_sharded, consts_local (dict of sharded (H,W) planes +
     replicated scalars), key, n_iter) -> (bed', losses (n_iter,), steps).
     """
-    from ..models.randfield import draw_block
-
-    H, W, B = static.H, static.W, static.rf.B
+    H = static.H
     n_shards = mesh.shape[grid_axis]
     rows_local = H // n_shards
     spec = P(grid_axis, None)
+    local_step = _make_local_crf_step(static, rows_local, grid_axis)
 
-    def local_run(bed, surf, velx, vely, dhdt, smb, upd, mcf, crfw,
-                  rf_arrays, region_cells, sigma, resolution, key, n_iter):
-        shard = jax.lax.axis_index(grid_axis)
-        row0 = shard * rows_local
+    def local_run(cons, state, rf_arrays, region_cells, sigma, resolution,
+                  key, n_iter):
+        row0 = jax.lax.axis_index(grid_axis) * rows_local
+        surf, velx, vely, dhdt, smb, mcf = (cons[0], cons[1], cons[2],
+                                            cons[3], cons[4], cons[6])
+        res0 = _residual_local(state[0], surf, velx, vely, dhdt, smb,
+                               resolution, grid_axis)
+        state = jnp.stack([state[0], res0])
+        sq = jnp.where(jnp.isnan(jnp.square(res0)), 0.0, jnp.square(res0))
+        loss0 = jax.lax.psum(jnp.sum(jnp.where(mcf > 0, sq, 0.0)),
+                             grid_axis) / (2.0 * jnp.square(sigma))
 
-        def residual(b):
-            thick = surf - b
-            dx = _gradient_axis1_local(velx * thick, resolution)
-            dy = _gradient_axis0_sharded(vely * thick, resolution, grid_axis)
-            return dx + dy + dhdt - smb
+        def body(carry, _):
+            state, loss, key = carry
+            state, loss, key, accept = local_step(
+                cons, state, rf_arrays, region_cells, sigma, resolution,
+                row0, loss, key)
+            return (state, loss, key), (loss, accept)
 
-        def loss_of(res):
-            sq = jnp.square(res)
-            sq = jnp.where(jnp.isnan(sq), 0.0, sq)
-            s = jnp.sum(jnp.where(mcf > 0, sq, 0.0))
-            return jax.lax.psum(s, grid_axis) / (2.0 * sigma**2)
-
-        loss0 = loss_of(residual(bed))
-
-        def step(carry, _):
-            bed, loss_prev, key = carry
-            key, k_blk, k_c, k_u = jax.random.split(key, 4)
-            f, size_idx, w, h = draw_block(k_blk, static.rf, rf_arrays)
-            cidx = jax.random.randint(k_c, (), 0, region_cells.shape[0])
-            cx = region_cells[cidx, 0]
-            cy = region_cells[cidx, 1]
-            off_x = (2 * cx - h) // 2
-            off_y = (2 * cy - w) // 2
-            bxmin = jnp.maximum(0, off_x)
-            bxmax = jnp.minimum(H, (2 * cx + h) // 2)
-            bymin = jnp.maximum(0, off_y)
-            bymax = jnp.minimum(W, (2 * cy + w) // 2)
-
-            # local slice of the global proposal canvas: rows
-            # [row0, row0+rows_local) map to field rows (row - off_x)
-            FPR = rows_local + 2 * B
-            fpad = jnp.zeros((FPR, W + 2 * B), f.dtype)
-            fpad = jax.lax.dynamic_update_slice(
-                fpad, f, (jnp.clip(B + off_x - row0, 0, FPR - B),
-                          B + off_y))
-            pert = jax.lax.dynamic_slice(fpad, (B, B), (rows_local, W))
-
-            rows_g = row0 + jax.lax.broadcasted_iota(jnp.int32,
-                                                     (rows_local, W), 0)
-            cols_g = jax.lax.broadcasted_iota(jnp.int32, (rows_local, W), 1)
-            in_block = ((rows_g >= bxmin) & (rows_g < bxmax)
-                        & (cols_g >= bymin) & (cols_g < bymax))
-            pert = jnp.where(in_block & (upd > 0), pert * crfw, 0.0)
-            bed_new = bed + pert
-
-            loss_next = loss_of(residual(bed_new))
-            viol_local = jnp.any(((surf - bed_new) <= 0.0) & in_block
-                                 & (upd > 0))
-            viol = jax.lax.psum(viol_local.astype(jnp.int32), grid_axis) > 0
-            loss_next = jnp.where(viol, jnp.inf, loss_next)
-
-            u = jax.random.uniform(k_u, ())
-            accept = u <= jnp.minimum(1.0, jnp.exp(loss_prev - loss_next))
-            write = accept & ~viol
-            bed = jnp.where(write, bed_new, bed)
-            loss = jnp.where(write, loss_next, loss_prev)
-            return (bed, loss, key), (loss, accept)
-
-        (bed, loss, _), (losses, steps) = jax.lax.scan(
-            step, (bed, loss0, key), None, length=n_iter)
-        return bed, losses, steps
+        (state, loss, _), (losses, steps) = jax.lax.scan(
+            body, (state, loss0, key), None, length=n_iter)
+        return state[0], losses, steps
 
     def run(bed, consts, key, n_iter: int):
+        def wrapped(bed, surf, velx, vely, dhdt, smb, upd, mcf, crfw,
+                    rf_arrays, region_cells, sigma, resolution, key):
+            cons = jnp.stack([surf, velx, vely, dhdt, smb, upd, mcf, crfw])
+            state = jnp.stack([bed, jnp.zeros_like(bed)])
+            return local_run(cons, state, rf_arrays, region_cells, sigma,
+                             resolution, key, int(n_iter))
+
         fn = shard_map(
-            partial(local_run, n_iter=int(n_iter)), mesh=mesh,
+            wrapped, mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec, spec, spec, spec, spec,
                       P(), P(), P(), P(), P()),
             out_specs=(spec, P(), P()),
@@ -218,5 +342,80 @@ def make_sharded_crf_chain(mesh: Mesh, static, grid_axis: str = "grid"):
             consts["mc_mask"], consts["crf_weight"], consts["rf"],
             consts["region_cells"], consts["sigma_mc"],
             consts["resolution"], key)
+
+    return run
+
+
+def _residual_local(bed, surf, velx, vely, dhdt, smb, resolution, grid_axis):
+    """Full local-shard residual (initialization / cross-checks)."""
+    thick = surf - bed
+    dx = _gradient_axis1_local(velx * thick, resolution)
+    dy = _gradient_axis0_sharded(vely * thick, resolution, grid_axis)
+    return dx + dy + dhdt - smb
+
+
+def make_sharded_crf_chains(mesh: Mesh, static, chain_axis: str = "chains",
+                            grid_axis: str = "grid"):
+    """Combined chains x grid CRF sampler: ONE program using both mesh axes.
+
+    Batched chains (data-parallel over ``chain_axis``) whose per-chain 2D
+    grid is row-sharded over ``grid_axis`` — the full two-axis layout of
+    SURVEY.md §2.3/§5.8.  Per-chain proposals are drawn from per-chain keys
+    (replicated across the grid axis so every shard of a chain sees the
+    same block); halo exchange and loss psums ride the grid axis only, and
+    chains never communicate (reference share-nothing semantics).
+
+    run(beds (C, H, W) sharded P(chains, grid, None), consts (dict of
+    sharded (H, W) planes + replicated scalars), keys (C,), n_iter)
+    -> (beds', losses (C, n_iter), steps (C, n_iter)).
+    """
+    H = static.H
+    n_shards = mesh.shape[grid_axis]
+    rows_local = H // n_shards
+    local_step = _make_local_crf_step(static, rows_local, grid_axis)
+    bspec = P(chain_axis, grid_axis, None)
+    pspec = P(grid_axis, None)
+
+    def local_run(beds, surf, velx, vely, dhdt, smb, upd, mcf, crfw,
+                  rf_arrays, region_cells, sigma, resolution, keys, n_iter):
+        cons = jnp.stack([surf, velx, vely, dhdt, smb, upd, mcf, crfw])
+        row0 = jax.lax.axis_index(grid_axis) * rows_local
+
+        def one_chain(bed, key):
+            res0 = _residual_local(bed, surf, velx, vely, dhdt, smb,
+                                   resolution, grid_axis)
+            state = jnp.stack([bed, res0])
+            sq = jnp.where(jnp.isnan(jnp.square(res0)), 0.0,
+                           jnp.square(res0))
+            loss0 = jax.lax.psum(jnp.sum(jnp.where(mcf > 0, sq, 0.0)),
+                                 grid_axis) / (2.0 * jnp.square(sigma))
+
+            def body(carry, _):
+                state, loss, key = carry
+                state, loss, key, accept = local_step(
+                    cons, state, rf_arrays, region_cells, sigma, resolution,
+                    row0, loss, key)
+                return (state, loss, key), (loss, accept)
+
+            (state, _, _), (losses, steps) = jax.lax.scan(
+                body, (state, loss0, key), None, length=n_iter)
+            return state[0], losses, steps
+
+        return jax.vmap(one_chain)(beds, keys)
+
+    def run(beds, consts, keys, n_iter: int):
+        fn = shard_map(
+            partial(local_run, n_iter=int(n_iter)), mesh=mesh,
+            in_specs=(bspec, pspec, pspec, pspec, pspec, pspec, pspec,
+                      pspec, pspec, P(), P(), P(), P(), P(chain_axis)),
+            out_specs=(bspec, P(chain_axis, None), P(chain_axis, None)),
+            check_vma=False,
+        )
+        return jax.jit(fn)(
+            beds, consts["surf"], consts["velx"], consts["vely"],
+            consts["dhdt"], consts["smb"], consts["update_mask"],
+            consts["mc_mask"], consts["crf_weight"], consts["rf"],
+            consts["region_cells"], consts["sigma_mc"],
+            consts["resolution"], keys)
 
     return run
