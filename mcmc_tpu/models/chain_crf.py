@@ -72,13 +72,21 @@ class CRFStatic:
 class CRFConsts:
     """Per-problem array constants (one copy, shared across chains)."""
 
-    # The 10 problem planes live STACKED in one (10, H, W) array: the hot
-    # loop gathers its local window with ONE batched dynamic_slice.  On TPU
-    # each vmapped dynamic-slice/scatter op costs ~1ms regardless of size
-    # (XLA lowers per-chain offsets to gather), so op COUNT is what matters.
-    # Plane order: surf, velx, vely, dhdt, smb, update_mask, mc_mask,
-    # crf_weight, cond_bed (NaN->0), data_loss_mask.
-    stacked: jnp.ndarray       # (10, H, W) float32
+    # The problem planes live STACKED in one (8, H, W) array: the hot loop
+    # gathers its local window with ONE batched dynamic_slice.  On TPU each
+    # vmapped dynamic-slice/scatter op costs ~1ms regardless of size (XLA
+    # lowers per-chain offsets to gather), so op COUNT is what matters —
+    # and the fused kernel is window-DMA bandwidth-bound, so plane COUNT
+    # matters too (measured 2026-08-16: kernel ~0.81 of a 0.97 ms
+    # step-batch at 256 chains).  Hence the packing:
+    #   3: forcing  = dhdt - smb  (the residual only ever uses the
+    #      difference, Topography.py:592-600)
+    #   4: maskpack = update_mask + 2*mc_mask  (floats {0, 1, 2, 3})
+    # and the two data-loss planes sit LAST so the kernel DMAs only the
+    # first 6 planes when use_data_loss is off (the production configs).
+    # Plane order: surf, velx, vely, forcing, maskpack, crf_weight,
+    # cond_bed (NaN->0), data_loss_mask.
+    stacked: jnp.ndarray       # (8, H, W) float32
     region_cells: jnp.ndarray  # (n_region, 2) int32 candidate centers
     sample_ij: jnp.ndarray     # (P, 2) int32 probe cells
     sigma_mc: jnp.ndarray      # scalar
@@ -100,32 +108,29 @@ class CRFConsts:
         return self.stacked[2]
 
     @property
-    def dhdt(self):
+    def forcing(self):
+        """dhdt - smb (the residual uses only the difference)."""
         return self.stacked[3]
 
     @property
-    def smb(self):
-        return self.stacked[4]
-
-    @property
     def update_mask(self):
-        return self.stacked[5]
+        return jnp.mod(self.stacked[4], 2.0)
 
     @property
     def mc_mask(self):
-        return self.stacked[6] > 0
+        return self.stacked[4] >= 2.0
 
     @property
     def crf_weight(self):
-        return self.stacked[7]
+        return self.stacked[5]
 
     @property
     def cond_bed_filled(self):
-        return self.stacked[8]
+        return self.stacked[6]
 
     @property
     def data_loss_mask(self):
-        return self.stacked[9] > 0
+        return self.stacked[7] > 0
 
 
 @dataclasses.dataclass
@@ -174,8 +179,8 @@ def init_state(bed, key, consts: CRFConsts) -> ChainState:
     """Fresh chain state: full-grid residual + loss (reference MCMC.py:1184-1195)."""
     bed = jnp.asarray(bed, jnp.float32)
     mc_res = mass_conservation_residual(
-        bed, consts.surf, consts.velx, consts.vely, consts.dhdt, consts.smb,
-        consts.resolution,
+        bed, consts.surf, consts.velx, consts.vely, consts.forcing,
+        jnp.float32(0.0), consts.resolution,
     )
     loss_mc = masked_gaussian_loss(mc_res, consts.mc_mask, consts.sigma_mc)
     data_diff = bed - consts.cond_bed_filled
@@ -221,12 +226,16 @@ def make_kernel(static: CRFStatic):
         # ONE batched slice each for the 8 problem planes and 3 state planes
         # (each vmapped dynamic-slice op costs ~1ms on TPU regardless of
         # size, so everything windowed travels stacked)
-        cw = jax.lax.dynamic_slice(consts.stacked, (0, sx, sy), (10, S, S))
-        (surf_w, velx_w, vely_w, dhdt_w, smb_w, upd_w, mcf_w, crfw_w,
-         cond_w, dmask_w) = cw
+        NP = 8 if static.use_data_loss else 6
+        cw = jax.lax.dynamic_slice(consts.stacked[:NP], (0, sx, sy),
+                                   (NP, S, S))
+        surf_w, velx_w, vely_w, forcing_w, mp_w, crfw_w = cw[:6]
+        if static.use_data_loss:
+            cond_w, dmask_w = cw[6], cw[7]
+        upd_w = jnp.mod(mp_w, 2.0)
         sw = jax.lax.dynamic_slice(state.fields, (0, sx, sy), (3, S, S))
         bed_w, res_old_w, resampled_w = sw
-        mc_w = mcf_w > 0
+        mc_w = mp_w >= 2.0
 
         # --- perturbation (reference MCMC.py:1279-1290) ----------------------
         # Align the (B, B) field canvas with the window by zero-padding and
@@ -244,7 +253,7 @@ def make_kernel(static: CRFStatic):
 
         # --- local residual with numpy-gradient semantics --------------------
         res_new_w = mass_conservation_residual(
-            bed_new_w, surf_w, velx_w, vely_w, dhdt_w, smb_w,
+            bed_new_w, surf_w, velx_w, vely_w, forcing_w, 0.0,
             consts.resolution,
         )
 
@@ -692,10 +701,13 @@ class ChainCRF:
             # all-zero mask => loss_data identically 0 everywhere (init and
             # deltas), matching the reference's loss_data = 0 (MCMC.py:1042)
             data_loss_mask = np.zeros(self.xx.shape, bool)
+        # packed planes (see CRFConsts.stacked): forcing = dhdt - smb,
+        # maskpack = update_mask + 2*mc_mask
         stacked = np.stack([
-            self.surf, self.velx, self.vely, self.dhdt, self.smb,
-            np.asarray(update_mask, np.float32),
-            np.asarray(self.mc_region_mask == 1, np.float32),
+            self.surf, self.velx, self.vely,
+            np.asarray(self.dhdt, np.float64) - np.asarray(self.smb, np.float64),
+            ((np.asarray(update_mask) > 0).astype(np.float32)
+             + 2.0 * np.asarray(self.mc_region_mask == 1, np.float32)),
             np.asarray(crf_weight, np.float32),
             np.asarray(cond_filled, np.float32),
             np.asarray(data_loss_mask, np.float32),

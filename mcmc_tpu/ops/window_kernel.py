@@ -71,8 +71,11 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
     geom rows: [sx, sy, shift_x, shift_y, bxmin, bxmax, bymin, bymax,
     h, w, size_idx] with (sx, sy) ALIGNED window starts.  fvals rows:
     [u, loss_prev(total), sigma_mc, resolution, sigma_data, scale].
-    fields planes: bed, mc_res, resampled; consts planes: surf, velx, vely,
-    dhdt, smb, update_mask, mc_mask, crf_weight, cond_bed, data_loss_mask.
+    fields planes: bed, mc_res, resampled; consts planes (packed, see
+    CRFConsts.stacked): surf, velx, vely, forcing (dhdt-smb), maskpack
+    (update + 2*mc), crf_weight [, cond_bed, data_loss_mask].  Only the
+    first NP planes are DMA'd (6, or 8 with the data loss term) — the
+    kernel is window-DMA bandwidth-bound, so plane count is the cost.
     """
     if not fused_path_supported(H, W, B):
         raise ValueError(
@@ -81,12 +84,49 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             "alignment contract (need H%8==0 or full-height window, and "
             "W%128==0 or full-width window). Use impl='auto' or 'xla'.")
     SX, SY = fused_window_sizes(H, W, B)
+    NP = 8 if use_data_loss else 6
 
     def kernel(geom_ref, fvals_ref, cons_hbm, fields_in, fraw_ref, edge_hbm,
                fields_out, acc_ref, delta_ref, ddata_ref,
                cons_vmem, st_vmem, new_vmem, edge_vmem, sems):
         del fields_in  # aliased with fields_out; all access goes through out
         i = pl.program_id(0)
+        n_prog = pl.num_programs(0)
+        # DOUBLE BUFFERING over the chain grid: with 256 chains x 3 DMAs the
+        # per-DMA issue latency dominates the kernel (measured 2026-08-16:
+        # plane-count cuts barely moved it), so program i prefetches chain
+        # i+1's windows into the other scratch slot while computing chain i
+        # (the geometry is scalar-prefetched, so i+1's slices are known).
+        # Per-chain state regions are disjoint, so prefetching i+1's state
+        # before i's conditional writeback completes is safe.
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def window_dmas(j, s):
+            sx_j = pl.multiple_of(geom_ref[j, 0], 8) if SX != H else 0
+            sy_j = pl.multiple_of(geom_ref[j, 1], 128) if SY != W else 0
+            cdma = pltpu.make_async_copy(
+                cons_hbm.at[pl.ds(0, NP), pl.ds(sx_j, SX), pl.ds(sy_j, SY)],
+                cons_vmem.at[s], sems.at[s, 0])
+            sdma = pltpu.make_async_copy(
+                fields_out.at[j, :, pl.ds(sx_j, SX), pl.ds(sy_j, SY)],
+                st_vmem.at[s], sems.at[s, 1])
+            # edge_hbm lanes are padded to 128 (DMA slice tiling); kernel
+            # uses the leading (B, B) part
+            edma = pltpu.make_async_copy(edge_hbm.at[geom_ref[j, 10]],
+                                         edge_vmem.at[s], sems.at[s, 2])
+            return cdma, sdma, edma
+
+        @pl.when(i == 0)
+        def _():
+            for d in window_dmas(0, 0):
+                d.start()
+
+        @pl.when(i + 1 < n_prog)
+        def _():
+            for d in window_dmas(i + 1, nxt):
+                d.start()
+
         # alignment facts the host-side geometry guarantees (multiple_of
         # lets Mosaic prove the DMA slice starts are tile-aligned; full-dim
         # windows always start at literal 0)
@@ -100,7 +140,6 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         bymax = geom_ref[i, 7]
         bh = geom_ref[i, 8]
         bw = geom_ref[i, 9]
-        size_idx = geom_ref[i, 10]
         u = fvals_ref[i, 0]
         loss_prev = fvals_ref[i, 1]
         sigma = fvals_ref[i, 2]
@@ -108,19 +147,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         sigma_data = fvals_ref[i, 4]
         scale = fvals_ref[i, 5]
 
-        cdma = pltpu.make_async_copy(
-            cons_hbm.at[:, pl.ds(sx, SX), pl.ds(sy, SY)], cons_vmem,
-            sems.at[0])
-        cdma.start()
-        sdma = pltpu.make_async_copy(
-            fields_out.at[i, :, pl.ds(sx, SX), pl.ds(sy, SY)], st_vmem,
-            sems.at[1])
-        sdma.start()
-        # edge_hbm lanes are padded to 128 (DMA slice tiling); kernel uses
-        # the leading (B, B) part
-        edma = pltpu.make_async_copy(edge_hbm.at[size_idx], edge_vmem,
-                                     sems.at[3])
-        edma.start()
+        cdma, sdma, edma = window_dmas(i, slot)
 
         if prefinished:
             # caller already standardized/scaled/edge-masked (nugget path)
@@ -139,7 +166,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             var = jnp.sum(jnp.square(raw - mean) * bmask) / nblk
             f = (raw - mean) / (jnp.sqrt(var) + 1e-12) * bmask * scale
             edma.wait()
-            f = f * edge_vmem[:, :B]
+            f = f * edge_vmem[slot][:, :B]
 
         # place the proposal canvas: static zero-pad + dynamic roll
         canvas = jnp.pad(f, ((0, SX - B), (0, SY - B)))
@@ -153,19 +180,21 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         cdma.wait()
         sdma.wait()
 
-        surf_w = cons_vmem[0]
-        velx_w = cons_vmem[1]
-        vely_w = cons_vmem[2]
-        dhdt_w = cons_vmem[3]
-        smb_w = cons_vmem[4]
-        upd_w = cons_vmem[5]
-        mcf_w = cons_vmem[6]
-        crfw_w = cons_vmem[7]
-        cond_w = cons_vmem[8]
-        dmask_w = cons_vmem[9]
-        bed_w = st_vmem[0]
-        res_old_w = st_vmem[1]
-        resampled_w = st_vmem[2]
+        cv = cons_vmem[slot]
+        sv = st_vmem[slot]
+        surf_w = cv[0]
+        velx_w = cv[1]
+        vely_w = cv[2]
+        forcing_w = cv[3]
+        mp_w = cv[4]
+        crfw_w = cv[5]
+        upd_w = mp_w - 2.0 * jnp.floor(mp_w * 0.5)  # maskpack % 2
+        if use_data_loss:
+            cond_w = cv[6]
+            dmask_w = cv[7]
+        bed_w = sv[0]
+        res_old_w = sv[1]
+        resampled_w = sv[2]
 
         rows = sx + jax.lax.broadcasted_iota(jnp.int32, (SX, SY), 0)
         cols = sy + jax.lax.broadcasted_iota(jnp.int32, (SX, SY), 1)
@@ -191,9 +220,9 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             (fy[2:, :] - fy[:-2, :]) / two_r,
             (fy[-1:, :] - fy[-2:-1, :]) / resolution,
         ], axis=0)
-        res_new_w = dx + dy + dhdt_w - smb_w
+        res_new_w = dx + dy + forcing_w
 
-        patch = in_block & (mcf_w > 0)
+        patch = in_block & (mp_w >= 2.0)
 
         def nansq(x):
             s = x * x
@@ -229,7 +258,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             new_vmem[2] = resampled_w + jnp.where(in_block, upd_w, 0.0)
             wdma = pltpu.make_async_copy(
                 new_vmem, fields_out.at[i, :, pl.ds(sx, SX), pl.ds(sy, SY)],
-                sems.at[2])
+                sems.at[slot, 3])
             wdma.start()
             wdma.wait()
 
@@ -245,7 +274,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             num_scalar_prefetch=2,
             grid=(N,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),     # consts (10,H,W)
+                pl.BlockSpec(memory_space=pltpu.HBM),     # consts (8,H,W)
                 pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
                 pl.BlockSpec((1, B, B), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),    # fraw
@@ -258,11 +287,11 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
                 pl.BlockSpec(memory_space=pltpu.SMEM),    # delta_data (N,1)
             ],
             scratch_shapes=[
-                pltpu.VMEM((10, SX, SY), jnp.float32),
+                pltpu.VMEM((2, NP, SX, SY), jnp.float32),   # double-buffered
+                pltpu.VMEM((2, 3, SX, SY), jnp.float32),
                 pltpu.VMEM((3, SX, SY), jnp.float32),
-                pltpu.VMEM((3, SX, SY), jnp.float32),
-                pltpu.VMEM((B, _round_up(B, 128)), jnp.float32),
-                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.VMEM((2, B, _round_up(B, 128)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
             ],
         )
         fields_out, acc, delta, ddata = pl.pallas_call(

@@ -17,7 +17,7 @@ class TestBenchPieces:
         chain.set_crf_data_weight()
         static, consts = chain.build()
         assert static.rf.B == 80
-        assert np.asarray(consts.stacked).shape == (10, 128, 128)
+        assert np.asarray(consts.stacked).shape == (8, 128, 128)
 
     def test_cpu_baseline_twin_runs(self):
         import bench

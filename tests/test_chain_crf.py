@@ -38,8 +38,8 @@ def np_consts_from(chain, consts):
         surf=np.asarray(consts.surf, np.float64),
         velx=np.asarray(consts.velx, np.float64),
         vely=np.asarray(consts.vely, np.float64),
-        dhdt=np.asarray(consts.dhdt, np.float64),
-        smb=np.asarray(consts.smb, np.float64),
+        dhdt=np.asarray(consts.forcing, np.float64),  # forcing = dhdt - smb
+        smb=np.zeros(np.asarray(consts.forcing).shape, np.float64),
         update_mask=np.asarray(consts.update_mask, np.float64),
         mc_mask=np.asarray(consts.mc_mask),
         crf_weight=np.asarray(consts.crf_weight, np.float64),

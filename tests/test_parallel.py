@@ -140,10 +140,11 @@ class TestGridShardedChain:
             mesh = Mesh(_np.asarray(jax.devices()[:n_shards]), ("grid",))
             planes = dict(
                 surf=np.asarray(consts.surf), velx=np.asarray(consts.velx),
-                vely=np.asarray(consts.vely), dhdt=np.asarray(consts.dhdt),
-                smb=np.asarray(consts.smb),
+                vely=np.asarray(consts.vely),
+                dhdt=np.asarray(consts.forcing),  # forcing = dhdt - smb
+                smb=np.zeros_like(np.asarray(consts.forcing)),
                 update_mask=np.asarray(consts.update_mask),
-                mc_mask=np.asarray(consts.stacked[6]),
+                mc_mask=np.asarray(consts.mc_mask, np.float32),
                 crf_weight=np.asarray(consts.crf_weight))
             sharded = shard_grid_arrays(mesh, planes)
             sharded["rf"] = consts.rf
@@ -213,10 +214,11 @@ class TestCombinedChainsGrid:
         mesh = Mesh(devs, ("chains", "grid"))
         planes = dict(
             surf=np.asarray(consts.surf), velx=np.asarray(consts.velx),
-            vely=np.asarray(consts.vely), dhdt=np.asarray(consts.dhdt),
-            smb=np.asarray(consts.smb),
+            vely=np.asarray(consts.vely),
+            dhdt=np.asarray(consts.forcing),  # forcing = dhdt - smb
+            smb=np.zeros_like(np.asarray(consts.forcing)),
             update_mask=np.asarray(consts.update_mask),
-            mc_mask=np.asarray(consts.stacked[6]),
+            mc_mask=np.asarray(consts.mc_mask, np.float32),
             crf_weight=np.asarray(consts.crf_weight))
         sharded = shard_grid_arrays(mesh, planes)
         sharded["rf"] = consts.rf
