@@ -1,0 +1,91 @@
+"""Multi-host wiring smoke tests (SURVEY.md §5.8 DCN path).
+
+A real pod slice is unavailable here, so the jax.distributed path is
+exercised with a 1-process coordinator in a SUBPROCESS (initialize mutates
+global runtime state), and the mesh-layout helpers are tested against the
+8 virtual CPU devices.
+"""
+
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+from mcmc_tpu.parallel.distributed import (global_chains_grid_mesh,
+                                           global_chains_mesh,
+                                           initialize_distributed)
+
+
+class TestMeshLayout:
+    def test_global_chains_mesh_spans_all_devices(self):
+        mesh = global_chains_mesh()
+        assert mesh.shape["chains"] == len(jax.devices())
+
+    def test_grid_shards_contiguous(self):
+        mesh = global_chains_grid_mesh(2)
+        assert dict(mesh.shape) == {"chains": 4, "grid": 2}
+        # each chain row's grid devices are consecutive (same-host proxy)
+        dev = np.asarray(mesh.devices)
+        for row in dev:
+            ids = [d.id for d in row]
+            assert ids == sorted(ids) and ids[1] == ids[0] + 1
+
+    def test_indivisible_grid_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            global_chains_grid_mesh(3)
+
+
+class TestInitialize:
+    def test_noop_without_cluster_env(self, monkeypatch):
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert initialize_distributed() is False
+
+    def test_one_process_coordinator_subprocess(self):
+        """Full jax.distributed.initialize + a jitted chain step under the
+        multi-process runtime (1-process cluster), in a subprocess."""
+        code = r"""
+import sys
+sys.path.insert(0, %r)
+from mcmc_tpu.parallel.distributed import (initialize_distributed,
+                                           global_chains_mesh)
+ok = initialize_distributed(coordinator_address="localhost:43219",
+                            num_processes=1, process_id=0)
+import jax
+assert jax.process_count() == 1
+mesh = global_chains_mesh()
+assert mesh.shape["chains"] == 4, mesh.shape
+
+from tests.conftest import make_synthetic_problem
+from tests.test_chain_crf import build_small_chain
+from mcmc_tpu.parallel import MultiChainSampler
+import numpy as np
+
+p = make_synthetic_problem(H=64, W=64)
+chain = build_small_chain(p)
+s = MultiChainSampler(chain, n_chains=4, mesh=mesh)
+st = s.init(seeds=0)
+st, tr = s.run_segment(st, 10)
+assert np.isfinite(np.asarray(tr["loss"])).all()
+jax.distributed.shutdown()
+print("DISTRIBUTED_OK")
+"""
+        import os
+        import pathlib
+
+        root = str(pathlib.Path(__file__).resolve().parents[1])
+        # clean env: jax.distributed.initialize must run before ANY backend
+        # init, so the image's pre-importing sitecustomize must not load
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        env["PYTHONPATH"] = root
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        out = subprocess.run([sys.executable, "-c", code % root],
+                             capture_output=True, text=True, timeout=300,
+                             cwd=root, env=env)
+        assert "DISTRIBUTED_OK" in out.stdout, (out.stdout, out.stderr)
