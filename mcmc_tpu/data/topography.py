@@ -14,7 +14,12 @@ Improvements over the reference (documented, tested):
   transform, and PIL's ModeFilter by a scipy majority filter;
 - ``convert_geoid``: the reference ignores its ``res`` argument and
   recomputes it from the grid (Topography.py:515); here the argument is
-  honored (pass None to derive from the grid).
+  honored (pass None to derive from the grid);
+- diagnostic figures: the reference loaders ALWAYS build and return a
+  two-panel matplotlib figure (e.g. Topography.py:74-88) and
+  filter_data_by_std draws a 3-panel exclusion diagnostic (:629-668); here
+  the same figures are produced on demand via ``plot=True`` (appended to
+  the return tuple) so headless production runs pay nothing.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ def _require(module: str, purpose: str):
 
 
 def load_smb_racmo(dataset_path, xx, yy, res, time=2015,
-                   interp_method="linear", k=1):
+                   interp_method="linear", k=1, plot=False):
     """RACMO yearly surface mass balance, reprojected to EPSG:3031 and
     regridded (reference Topography.py:36-89).  mm w.e./yr -> m ice eq./yr
     via the 920 kg/m^3 ice density the reference hard-codes.
@@ -65,11 +70,17 @@ def load_smb_racmo(dataset_path, xx, yy, res, time=2015,
     time_int = int(time - 2016 - 1)
     vals = ds.isel(time=time_int)["smb"].values.squeeze()[m] / 920.0
     out = _interp(interp_method, x2[m], y2[m], vals, xx.ravel(), yy.ravel(), k)
-    return out.reshape(np.shape(xx))
+    out = out.reshape(np.shape(xx))
+    if plot:
+        from ..utils.plotting import quicklook
+
+        return out, quicklook(xx, yy, out, x2[m], y2[m], vals,
+                              f"{interp_method} interpolation", "m/yr")
+    return out
 
 
 def load_dhdt(dataset_path, xx, yy, res, interp_method="linear", k=1,
-              begin_year=2014, month=5, end_year=2016):
+              begin_year=2014, month=5, end_year=2016, plot=False):
     """ITS_LIVE/NSIDC-0782 surface-height change rate between two year/month
     slices (reference Topography.py:107-152)."""
     xr = _require("xarray", "reading dhdt NetCDF")
@@ -88,10 +99,17 @@ def load_dhdt(dataset_path, xx, yy, res, interp_method="linear", k=1,
     x2, y2 = np.meshgrid(ds.x.values, ds.y.values)
     out = _interp(interp_method, x2.ravel(), y2.ravel(), dhdt.ravel(),
                   xx.ravel(), yy.ravel(), k)
-    return out.reshape(np.shape(xx))
+    out = out.reshape(np.shape(xx))
+    if plot:
+        from ..utils.plotting import quicklook
+
+        return out, quicklook(xx, yy, out, x2, y2, dhdt,
+                              f"{interp_method} interpolation", "m/yr")
+    return out
 
 
-def load_vel_measures(dataset_path, xx, yy, res, interp_method="linear", k=1):
+def load_vel_measures(dataset_path, xx, yy, res, interp_method="linear", k=1,
+                      plot=False):
     """MEaSUREs velocity + errors (reference Topography.py:169-202).
     Returns (velx, vely, velx_err, vely_err)."""
     xr = _require("xarray", "reading MEaSUREs NetCDF")
@@ -105,10 +123,18 @@ def load_vel_measures(dataset_path, xx, yy, res, interp_method="linear", k=1):
                        ds[name].values.ravel(), xx.ravel(), yy.ravel(),
                        k).reshape(np.shape(xx))
 
-    return rg("VX"), rg("VY"), rg("ERRX"), rg("ERRY")
+    vx, vy, ex, ey = rg("VX"), rg("VY"), rg("ERRX"), rg("ERRY")
+    if plot:
+        from ..utils.plotting import quicklook
+
+        vmag = np.sqrt(np.square(vx) + np.square(vy))
+        return vx, vy, ex, ey, quicklook(xx, yy, vmag, title="|v|",
+                                         units="m/yr")
+    return vx, vy, ex, ey
 
 
-def load_bedmachine(dataset_path, xx, yy, res, interp_method="linear", k=1):
+def load_bedmachine(dataset_path, xx, yy, res, interp_method="linear", k=1,
+                    plot=False):
     """BedMachine mask/source/bed/surface/errbed; categorical layers use
     nearest-neighbor regridding (reference Topography.py:222-264)."""
     xr = _require("xarray", "reading BedMachine NetCDF")
@@ -121,12 +147,19 @@ def load_bedmachine(dataset_path, xx, yy, res, interp_method="linear", k=1):
         return _interp(method, x2.ravel(), y2.ravel(), ds[name].values.ravel(),
                        xx.ravel(), yy.ravel(), k).reshape(np.shape(xx))
 
-    return (rg("mask", "kneighbors"), rg("source", "kneighbors"),
-            rg("bed", interp_method), rg("surface", interp_method),
-            rg("errbed", interp_method))
+    out = (rg("mask", "kneighbors"), rg("source", "kneighbors"),
+           rg("bed", interp_method), rg("surface", interp_method),
+           rg("errbed", interp_method))
+    if plot:
+        from ..utils.plotting import quicklook
+
+        return (*out, quicklook(xx, yy, out[2], title="BedMachine bed",
+                                units="m"))
+    return out
 
 
-def load_bedmap(dataset_path, xx, yy, res, interp_method="linear", k=1):
+def load_bedmap(dataset_path, xx, yy, res, interp_method="linear", k=1,
+                plot=False):
     """Bedmap3 surface/bed/uncertainty/mask (reference Topography.py:285-323)."""
     xr = _require("xarray", "reading Bedmap NetCDF")
     ds = xr.open_dataset(dataset_path)
@@ -138,9 +171,15 @@ def load_bedmap(dataset_path, xx, yy, res, interp_method="linear", k=1):
         return _interp(method, x2.ravel(), y2.ravel(), ds[name].values.ravel(),
                        xx.ravel(), yy.ravel(), k).reshape(np.shape(xx))
 
-    return (rg("mask", "kneighbors"), rg("surface_topography", interp_method),
-            rg("bed_topography", interp_method),
-            rg("bed_uncertainty", interp_method))
+    out = (rg("mask", "kneighbors"), rg("surface_topography", interp_method),
+           rg("bed_topography", interp_method),
+           rg("bed_uncertainty", interp_method))
+    if plot:
+        from ..utils.plotting import quicklook
+
+        return (*out, quicklook(xx, yy, out[2], title="Bedmap bed",
+                                units="m"))
+    return out
 
 
 def load_radar(folder_path, output_csv, include_only_thickness_data=False):
@@ -288,7 +327,7 @@ def get_mass_conservation_residual(bed, surf, velx, vely, dhdt, smb,
 
 
 def filter_data_by_std(df_in, rf_bed, cond_bed, num_of_std, xx, yy, shallow,
-                       dfmaskname="bedmachine_mask"):
+                       dfmaskname="bedmachine_mask", plot=False):
     """Radar QC: exclude picks deviating more than n std from a reference
     realization; ice-shelf/ocean rows always kept; ``shallow`` keeps only
     not-too-deep picks (reference Topography.py:615-672, vectorized).
@@ -313,4 +352,9 @@ def filter_data_by_std(df_in, rf_bed, cond_bed, num_of_std, xx, yy, shallow,
     df.loc[take, "bedQCrf"] = df.loc[take, "bed"]
     n_excluded = int((has_bed & ~shelf & ~keep).sum())
     total = int(has_bed.sum())
-    return df, (n_excluded / total if total else 0.0), std
+    rate = n_excluded / total if total else 0.0
+    if plot:
+        from ..utils.plotting import qc_panels
+
+        return df, rate, std, qc_panels(xx, yy, diff, std, num_of_std)
+    return df, rate, std
