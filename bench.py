@@ -119,8 +119,11 @@ def measure_cpu_baseline(p, chain, n_iter=150):
     return per_chain * cores, per_chain
 
 
-def measure_tpu(chain, n_chains=N_CHAINS, segment=100, min_seconds=8.0,
-                max_iters=4000, label="TPU"):
+def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
+                max_iters=6000, label="TPU"):
+    # segment size amortizes the tunneled host<->device roundtrip between
+    # segments (~tens of ms each on axon; measured 2026-08-16: segment=100
+    # cost ~0.5 ms/iter of pure dispatch overhead at 256 chains)
     import jax
     from mcmc_tpu.parallel import MultiChainSampler
     from mcmc_tpu.parallel import diagnostics as diag
@@ -246,8 +249,8 @@ def main():
     sgs_chain = make_sgs_chain(p)
     sgs_cpu_farm, sgs_cpu_single = measure_cpu_sgs_baseline(p, sgs_chain)
     sgs_rate, sgs_ess_rate = measure_tpu(
-        sgs_chain, n_chains=N_CHAINS_SGS, segment=50, min_seconds=6.0,
-        max_iters=2000, label="TPU SGS")
+        sgs_chain, n_chains=N_CHAINS_SGS, segment=200, min_seconds=6.0,
+        max_iters=2400, label="TPU SGS")
 
     result = {
         "metric": f"chain_iters_per_sec_{N_CHAINS}chains_{GRID}x{GRID}",
