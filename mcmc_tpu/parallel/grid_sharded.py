@@ -294,6 +294,8 @@ def make_sharded_crf_chain(mesh: Mesh, static, grid_axis: str = "grid"):
     """
     H = static.H
     n_shards = mesh.shape[grid_axis]
+    if H % n_shards:
+        raise ValueError(f"grid rows {H} not divisible by {n_shards} shards")
     rows_local = H // n_shards
     spec = P(grid_axis, None)
     local_step = _make_local_crf_step(static, rows_local, grid_axis)
@@ -371,6 +373,8 @@ def make_sharded_crf_chains(mesh: Mesh, static, chain_axis: str = "chains",
     """
     H = static.H
     n_shards = mesh.shape[grid_axis]
+    if H % n_shards:
+        raise ValueError(f"grid rows {H} not divisible by {n_shards} shards")
     rows_local = H // n_shards
     local_step = _make_local_crf_step(static, rows_local, grid_axis)
     bspec = P(chain_axis, grid_axis, None)

@@ -173,3 +173,48 @@ class TestNormalScore:
         t = NormalScoreTransform.fit(np.arange(100.0))
         out = np.asarray(t.transform(np.array([np.nan, 50.0])))
         assert np.isnan(out[0]) and np.isfinite(out[1])
+
+
+class TestNormalScoreLUT:
+    def test_lut_matches_exact_transform(self, rng):
+        """The hot-path LUT approximates the exact transform to well below
+        proposal noise across and beyond the fitted range."""
+        from mcmc_tpu.ops.transforms import NormalScoreLUT, NormalScoreTransform
+
+        data = rng.normal(50.0, 120.0, 20000) ** 1  # asymmetricize:
+        data = np.where(data > 50, 50 + (data - 50) * 1.7, data)
+        nst = NormalScoreTransform.fit(data, n_quantiles=1000)
+        lut = NormalScoreLUT.from_transform(nst)
+
+        # interior of the fitted range: tight (proposals live here)
+        lo, hi = np.quantile(data, [0.005, 0.995])
+        x = rng.uniform(lo, hi, 4000)
+        z_exact = nst.transform_np(x)
+        z_lut = np.asarray(lut.transform(x.astype(np.float32)))
+        assert np.nanmax(np.abs(z_lut - z_exact)) < 5e-3
+        # extreme tails: the exact transform is near-vertical between the
+        # outermost quantiles (ndtri jump to the +-5.2 clip), so the uniform
+        # LUT only bounds the error there — still monotone and saturating
+        xt = rng.uniform(data.min() - 50, data.max() + 50, 4000)
+        zt = np.asarray(lut.transform(xt.astype(np.float32)))
+        assert np.nanmax(np.abs(zt - nst.transform_np(xt))) < 0.5
+        order = np.argsort(xt)
+        assert np.all(np.diff(zt[order]) > -1e-4)
+
+        z = rng.uniform(-6.0, 6.0, 4000)
+        x_exact = nst.inverse_np(z)
+        x_lut = np.asarray(lut.inverse(z.astype(np.float32)))
+        span = data.max() - data.min()
+        assert np.nanmax(np.abs(x_lut - x_exact)) < 2e-3 * span
+
+    def test_lut_nan_propagation_and_clipping(self, rng):
+        from mcmc_tpu.ops.transforms import NormalScoreLUT, NormalScoreTransform
+
+        nst = NormalScoreTransform.fit(rng.normal(size=5000), n_quantiles=500)
+        lut = NormalScoreLUT.from_transform(nst)
+        out = np.asarray(lut.transform(np.array([np.nan, -1e9, 1e9],
+                                                np.float32)))
+        assert np.isnan(out[0])
+        # saturates like sklearn's clip at the fitted range
+        assert out[1] == pytest.approx(float(nst.transform_np(-1e9)), abs=1e-2)
+        assert out[2] == pytest.approx(float(nst.transform_np(1e9)), abs=1e-2)

@@ -262,3 +262,15 @@ class TestCombinedChainsGrid:
         np.testing.assert_allclose(loss4, loss1, rtol=1e-5)
         np.testing.assert_allclose(beds4, beds1, rtol=1e-5, atol=1e-3)
         assert steps4.sum() > 0
+
+    def test_blocks_spanning_three_shards(self):
+        """8 shards of 8 rows with 10-12-row blocks: a block can cover an
+        ENTIRE middle shard (rows_local < B+4), so both of that shard's
+        halo rows carry updated flux."""
+        p = make_synthetic_problem(H=64, W=64)
+        beds8, loss8, steps8 = self._run(p, 1, 8, n_chains=1, n_iter=80)
+        beds1, loss1, steps1 = self._run(p, 1, 1, n_chains=1, n_iter=80)
+        np.testing.assert_array_equal(steps8, steps1)
+        np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
+        np.testing.assert_allclose(beds8, beds1, rtol=1e-5, atol=1e-3)
+        assert steps8.sum() > 0
