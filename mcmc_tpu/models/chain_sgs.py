@@ -103,7 +103,7 @@ class SGSConsts:
     region_cells: jnp.ndarray
     sample_ij: jnp.ndarray
     nst: NormalScoreLUT  # uniform-grid LUT of the fitted transform (hot path)
-    window_cov: jnp.ndarray   # (SB*SB, SB*SB) stationary window covariance
+    cov_stamp: jnp.ndarray    # (NE, NE) periodized covariance stamp C(offset)
     embed_spec: jnp.ndarray   # (NE, NE) exact circulant spectrum of the
     #                           covariance stamp (adjustment convolution)
     embed_sqrt: jnp.ndarray   # (NE, NE) sqrt of the clamped spectrum
@@ -201,8 +201,9 @@ def _embedding_spectra(spec, rot_np, sill, nugget, SB, resolution):
     Periodizes the covariance stamp C(offset) on an (N, N) torus with
     N >= 2*SB (exact linear convolution for all window offsets), doubling N
     until the embedding is (near-)nonnegative-definite or N hits 8*SB.
-    Returns (exact spectrum f32 (N, N)  — used for the kriging-adjustment
-    convolution, sign-indifferent;  sqrt of the clamped spectrum f32 —
+    Returns (periodized stamp f32 (N, N) — also the on-device S_CC lookup
+    table; exact spectrum f32 (N, N) — used for the kriging-adjustment
+    convolution, sign-indifferent; sqrt of the clamped spectrum f32 —
     used for the unconditional draw, rescaled so the marginal variance is
     exactly C(0); N).
     """
@@ -224,7 +225,8 @@ def _embedding_spectra(spec, rot_np, sill, nugget, SB, resolution):
     Ec = np.maximum(E, 0.0)
     var = Ec.mean()  # realized marginal variance of the clamped draw
     sqrtE = np.sqrt(Ec * (stamp[0, 0] / max(var, 1e-300)))
-    return E.astype(np.float32), sqrtE.astype(np.float32), N
+    return (stamp.astype(np.float32), E.astype(np.float32),
+            sqrtE.astype(np.float32), N)
 
 
 @jax.jit
@@ -325,7 +327,16 @@ def make_sgs_kernel(static: SGSStatic):
         m_sel = sel.astype(jnp.float32)
         dz = jnp.where(cond_mask, z_w - z_u, 0.0).ravel()
         rhs_p = jnp.where(sel, dz[top_idx], 0.0)
-        S_cc = consts.window_cov[top_idx[:, None], top_idx[None, :]]
+        # S_cc gathered BY OFFSET from the small (NE, NE) covariance stamp
+        # (stationarity): same values as a (K, K) gather from the full
+        # (SB^2, SB^2) window covariance, but the 21 KB stamp replaces the
+        # SB^4-float matrix in consts (6.7 MB at SB=36), and the stamp is
+        # already periodized so offsets index it directly
+        ia = top_idx // SB
+        ja = top_idx - SB * ia
+        di = jnp.mod(ia[:, None] - ia[None, :], NE)
+        dj = jnp.mod(ja[:, None] - ja[None, :], NE)
+        S_cc = consts.cov_stamp[di, dj]
         eps = 1e-3 * jnp.maximum(consts.sill, 1.0)
         w_p = masked_cg_solve(S_cc, m_sel, rhs_p, eps, static.cg_iters)
         # scatter packed weights back to the window; Sigma_{:,C} w is a
@@ -689,22 +700,13 @@ class ChainSGS:
                               s=self.vario.smoothness)
 
         # stationary window covariance: the (SB, SB) window grid's offsets
-        # never change, so ONE host-side covariance matrix + Cholesky factor
-        # serves every step (the unconditional part of the conditional draw)
-        ii, jj = np.meshgrid(np.arange(SB), np.arange(SB), indexing="ij")
-        pts = np.column_stack([jj.ravel() * self.resolution,
-                               ii.ravel() * self.resolution])
+        # never change, so ONE host-side circulant-embedding spectrum serves
+        # every step's draw + kriging-adjustment convolution (S_CC entries
+        # are evaluated analytically on device from the packed coordinates)
         rot_np = np.asarray(make_rotation_matrix(
             self.vario.azimuth, self.vario.major_range,
             self.vario.minor_range), np.float64)
-        t = pts @ rot_np
-        dist = np.sqrt(((t[:, None, :] - t[None, :, :]) ** 2).sum(-1))
-        from ..ops.covariance import covariance_norm as _covn
-
-        wcov = np.asarray(_covn(spec, dist, self.vario.sill,
-                                self.vario.nugget), np.float64)
-        wcov = 0.5 * (wcov + wcov.T)
-        embed_spec, embed_sqrt, NE = _embedding_spectra(
+        cov_stamp, embed_spec, embed_sqrt, NE = _embedding_spectra(
             spec, rot_np, self.vario.sill, self.vario.nugget, SB,
             self.resolution)
         sample_ij = self._sample_ij()
@@ -733,7 +735,7 @@ class ChainSGS:
             region_cells=jnp.asarray(region, jnp.int32),
             sample_ij=jnp.asarray(sample_ij, jnp.int32),
             nst=lut,
-            window_cov=jnp.asarray(wcov, jnp.float32),
+            cov_stamp=jnp.asarray(cov_stamp),
             embed_spec=jnp.asarray(embed_spec),
             embed_sqrt=jnp.asarray(embed_sqrt),
             rot=jnp.asarray(make_rotation_matrix(
