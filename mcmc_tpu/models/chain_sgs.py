@@ -104,8 +104,8 @@ class SGSConsts:
     sample_ij: jnp.ndarray
     nst: NormalScoreLUT  # uniform-grid LUT of the fitted transform (hot path)
     cov_stamp: jnp.ndarray    # (NE, NE) periodized covariance stamp C(offset)
-    embed_spec: jnp.ndarray   # (NE, NE) exact circulant spectrum of the
-    #                           covariance stamp (adjustment convolution)
+    embed_spec: jnp.ndarray   # (NE, NE//2+1) exact half circulant spectrum
+    #                           of the covariance stamp (adjustment conv)
     embed_sqrt: jnp.ndarray   # (NE, NE) sqrt of the clamped spectrum
     #                           (unconditional circulant-embedding draw)
     rot: jnp.ndarray          # (2, 2) anisotropy matrix
@@ -225,7 +225,9 @@ def _embedding_spectra(spec, rot_np, sill, nugget, SB, resolution):
     Ec = np.maximum(E, 0.0)
     var = Ec.mean()  # realized marginal variance of the clamped draw
     sqrtE = np.sqrt(Ec * (stamp[0, 0] / max(var, 1e-300)))
-    return (stamp.astype(np.float32), E.astype(np.float32),
+    # the adjustment convolution uses the real half-spectrum (rfft layout)
+    E_half = E[:, : N // 2 + 1]
+    return (stamp.astype(np.float32), E_half.astype(np.float32),
             sqrtE.astype(np.float32), N)
 
 
@@ -250,7 +252,7 @@ def make_sgs_kernel(static: SGSStatic):
                                  static.BMY, static.M, static.NE)
 
     def drop_u_nugget(noise):
-        return noise[NE * NE:].reshape(SB, SB)
+        return noise[2 * NE * NE:].reshape(SB, SB)
 
     def mh_update(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
                   noise, drop_u, u, key):
@@ -312,8 +314,12 @@ def make_sgs_kernel(static: SGSStatic):
         # the conditional prior — the same approximation class as the
         # reference's octant-limited sequential SGS.
         hi = jax.lax.Precision.HIGHEST
-        wn = noise[:NE * NE].reshape(NE, NE)
-        z_big = jnp.fft.ifft2(jnp.fft.fft2(wn) * consts.embed_sqrt).real
+        # draw directly in frequency space: for proper complex white noise
+        # zeta (unit-variance real+imag parts), Re(N * ifft2(sqrt(E) zeta))
+        # has covariance = stamp — one inverse FFT instead of an fft2+ifft2
+        # pair (Im would be a second independent field, unused)
+        zeta = (noise[:NE * NE] + 1j * noise[NE * NE:2 * NE * NE]).reshape(NE, NE)
+        z_big = jnp.real(jnp.float32(NE) * jnp.fft.ifft2(consts.embed_sqrt * zeta))
         z_u = z_big[:SB, :SB] + consts.mean_z
         # distance (meters) from each window cell to the nearest block cell;
         # in-block data cells are at distance 0 and always selected first
@@ -346,8 +352,9 @@ def make_sgs_kernel(static: SGSStatic):
             jnp.where(sel, w_p, 0.0))
         w_pad = jnp.zeros((NE, NE), jnp.float32).at[:SB, :SB].set(
             w_full.reshape(SB, SB))
-        adj = jnp.fft.ifft2(jnp.fft.fft2(w_pad)
-                            * consts.embed_spec).real[:SB, :SB]
+        # real input + real symmetric spectrum -> half-spectrum FFT pair
+        adj = jnp.fft.irfft2(jnp.fft.rfft2(w_pad) * consts.embed_spec,
+                             s=(NE, NE))[:SB, :SB]
         z_draw = z_u + adj
         if static.has_nugget:
             z_draw = z_draw + jnp.sqrt(consts.nugget) * drop_u_nugget(noise)
@@ -433,7 +440,7 @@ def make_sgs_kernel(static: SGSStatic):
 
 def make_sgs_step(static: SGSStatic):
     mh_update = make_sgs_kernel(static)
-    NE2 = static.NE * static.NE
+    NE2 = 2 * static.NE * static.NE  # real+imag frequency-domain noise
     n_noise = NE2 + static.SB * static.SB if static.has_nugget else NE2
 
     def step(consts: SGSConsts, state: SGSState):
