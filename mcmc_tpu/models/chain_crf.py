@@ -360,6 +360,13 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
     from ..ops.spectral import sample_field_params, spectral_field
     from ..ops.window_kernel import fused_window_sizes, make_fused_window_update
 
+    # perf-surgery gates (profiling only; unset => no effect), comma list in
+    # MCMC_TPU_CRF_SURGERY: nodraw (white noise instead of the spectral FFT),
+    # nokernel (skip the fused window update)
+    import os as _os
+    _cut = set(filter(None, _os.environ.get(
+        "MCMC_TPU_CRF_SURGERY", "").split(",")))
+
     H, W, B = static.H, static.W, static.rf.B
     SX, SY = fused_window_sizes(H, W, B)
     # without a nugget (the production configs), the kernel finishes the
@@ -370,7 +377,9 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
     prefinished = static.rf.has_nugget or not static.rf.spectral
     fused = make_fused_window_update(H, W, B, interpret=interpret,
                                      use_data_loss=static.use_data_loss,
-                                     prefinished=prefinished)
+                                     prefinished=prefinished,
+                                     consts_resident=(
+                                         False if "nores" in _cut else None))
 
     def step(consts: CRFConsts, states: ChainState):
         def draws(key):
@@ -390,9 +399,12 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
                     consts.rf.nugget_max, consts.rf.range_min_x,
                     consts.rf.range_max_x, consts.rf.range_min_y,
                     consts.rf.range_max_y, static.rf.isotropic)
-                f = spectral_field(k_field, (B, B), static.rf.resolution,
-                                   static.rf.model_name, range_x, range_y,
-                                   static.rf.smoothness)
+                if "nodraw" in _cut:  # surgery: skip the spectral FFT
+                    f = jax.random.normal(k_field, (B, B))
+                else:
+                    f = spectral_field(k_field, (B, B), static.rf.resolution,
+                                       static.rf.model_name, range_x, range_y,
+                                       static.rf.smoothness)
             cidx = jax.random.randint(k_center, (), 0, static.n_region)
             u = jax.random.uniform(k_u, ())
             return key, f, size_idx, scale, w, h, cidx, u
@@ -434,9 +446,15 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
             scale,
         ], axis=1).astype(jnp.float32)
 
-        fields_out, acc_f, delta, delta_data = fused(
-            consts.stacked, states.fields, f, consts.rf.edge_masks, geom,
-            fvals)
+        if "nokernel" in _cut:  # surgery: skip the fused window update
+            fields_out = states.fields + jnp.float32(1e-20) * f.mean()
+            acc_f = jnp.zeros((n,), jnp.float32)
+            delta = jnp.zeros((n,), jnp.float32)
+            delta_data = jnp.zeros((n,), jnp.float32)
+        else:
+            fields_out, acc_f, delta, delta_data = fused(
+                consts.stacked, states.fields, f, consts.rf.edge_masks, geom,
+                fvals)
         accept = acc_f > 0
 
         # Kahan-compensated loss accumulation (deltas pre-zeroed by the

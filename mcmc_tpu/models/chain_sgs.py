@@ -68,7 +68,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.covariance import CovarianceSpec, make_rotation_matrix
-from ..ops.kriging import masked_cg_solve
+from ..ops.kriging import masked_cg_solve, masked_spd_solve
 from ..ops.physics import mass_conservation_residual, masked_gaussian_loss, masked_sq_sum
 from ..ops.transforms import NormalScoreLUT, NormalScoreTransform
 from ..utils.config import LossConfig, SGSParams, VariogramConfig
@@ -93,6 +93,10 @@ class SGSStatic:
     has_nugget: bool = False
     cg_iters: int = 64
     NE: int = 0  # circulant-embedding FFT size (>= 2*SB)
+    # analytic S_CC via nonneg gaussian+exponential mixture (see build);
+    # Mg/Me = number of mixture terms, 0/0 => stamp-gather fallback
+    Mg: int = 0
+    Me: int = 0
 
 
 @dataclasses.dataclass
@@ -120,6 +124,13 @@ class SGSConsts:
     dropout_rate: jnp.ndarray
     search_radius: jnp.ndarray  # meters (set_sgs_param)
     mean_z: jnp.ndarray       # prior mean in (transformed) sim space
+    # analytic-S_CC mixture (zero-size arrays when unused, static.Mg/Me=0):
+    mix_ag: jnp.ndarray       # (Mg,) gaussian-term weights
+    mix_bg: jnp.ndarray       # (Mg,) gaussian decay rates (in h^2)
+    mix_ae: jnp.ndarray       # (Me,) exponential-term weights
+    mix_be: jnp.ndarray       # (Me,) exponential decay rates (in h)
+    qcoef: jnp.ndarray        # (3,) quadratic form of normalized dist^2:
+    #                           h^2 = q0*dj^2 + q1*dj*di + q2*di^2
 
     # named plane views over `stacked` (setup/host paths)
     @property
@@ -250,6 +261,11 @@ def make_sgs_kernel(static: SGSStatic):
     drop_u (SB,SB), u, key)."""
     H, W, SB, BMX, BMY, M, NE = (static.H, static.W, static.SB, static.BMX,
                                  static.BMY, static.M, static.NE)
+    # perf-surgery gates (profiling only; unset in production => no effect):
+    # comma-separated list in MCMC_TPU_SGS_SURGERY, e.g. "nocg,noadj"
+    import os as _os
+    _cut = set(filter(None, _os.environ.get(
+        "MCMC_TPU_SGS_SURGERY", "").split(",")))
 
     def drop_u_nugget(noise):
         return noise[2 * NE * NE:].reshape(SB, SB)
@@ -270,10 +286,15 @@ def make_sgs_kernel(static: SGSStatic):
         in_cols = (cols >= bymin) & (cols < bymax)
         in_block = in_rows[:, None] & in_cols[None, :]
 
-        cw = jax.lax.dynamic_slice(consts.stacked, (0, sx, sy), (10, SB, SB))
+        if "nogather" in _cut:  # surgery: fixed-position window slices
+            cw = consts.stacked[:, :SB, :SB]
+            sw = state.fields[:, :SB, :SB]
+        else:
+            cw = jax.lax.dynamic_slice(consts.stacked, (0, sx, sy),
+                                       (10, SB, SB))
+            sw = jax.lax.dynamic_slice(state.fields, (0, sx, sy), (3, SB, SB))
         (surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f, mcf_w,
          zcond_w, dataf_w) = cw
-        sw = jax.lax.dynamic_slice(state.fields, (0, sx, sy), (3, SB, SB))
         bed_w, res_old_w, resampled_w = sw
         data_w = dataf_w > 0
 
@@ -289,7 +310,7 @@ def make_sgs_kernel(static: SGSStatic):
             cond_mask = cond_mask & (drop_u >= consts.dropout_rate)
 
         # --- transformed window values -------------------------------------
-        if static.use_transform:
+        if static.use_transform and "nolut" not in _cut:
             z_w = consts.nst.transform(bed_w)
         else:
             z_w = bed_w
@@ -318,9 +339,14 @@ def make_sgs_kernel(static: SGSStatic):
         # zeta (unit-variance real+imag parts), Re(N * ifft2(sqrt(E) zeta))
         # has covariance = stamp — one inverse FFT instead of an fft2+ifft2
         # pair (Im would be a second independent field, unused)
-        zeta = (noise[:NE * NE] + 1j * noise[NE * NE:2 * NE * NE]).reshape(NE, NE)
-        z_big = jnp.real(jnp.float32(NE) * jnp.fft.ifft2(consts.embed_sqrt * zeta))
-        z_u = z_big[:SB, :SB] + consts.mean_z
+        if "nodraw" in _cut:  # surgery: white noise instead of the FFT draw
+            z_u = noise[:SB * SB].reshape(SB, SB) + consts.mean_z
+        else:
+            zeta = (noise[:NE * NE]
+                    + 1j * noise[NE * NE:2 * NE * NE]).reshape(NE, NE)
+            z_big = jnp.real(jnp.float32(NE)
+                             * jnp.fft.ifft2(consts.embed_sqrt * zeta))
+            z_u = z_big[:SB, :SB] + consts.mean_z
         # distance (meters) from each window cell to the nearest block cell;
         # in-block data cells are at distance 0 and always selected first
         euclid = (jnp.sqrt(jnp.square(rd[:, None].astype(jnp.float32))
@@ -328,23 +354,54 @@ def make_sgs_kernel(static: SGSStatic):
                   * consts.resolution)
         candidate = cond_mask & (euclid <= consts.search_radius)
         score = jnp.where(candidate, -euclid, -jnp.inf).ravel()
-        top_val, top_idx = jax.lax.top_k(score, static.K)
+        if "notopk" in _cut:  # surgery: fixed conditioning indices
+            top_idx = jnp.arange(static.K)
+            top_val = jnp.zeros((static.K,), jnp.float32)
+        elif "approxtopk" in _cut:  # surgery: TPU approximate top-k
+            top_val, top_idx = jax.lax.approx_max_k(score, static.K)
+        else:
+            top_val, top_idx = jax.lax.top_k(score, static.K)
         sel = jnp.isfinite(top_val)
         m_sel = sel.astype(jnp.float32)
         dz = jnp.where(cond_mask, z_w - z_u, 0.0).ravel()
         rhs_p = jnp.where(sel, dz[top_idx], 0.0)
-        # S_cc gathered BY OFFSET from the small (NE, NE) covariance stamp
-        # (stationarity): same values as a (K, K) gather from the full
-        # (SB^2, SB^2) window covariance, but the 21 KB stamp replaces the
-        # SB^4-float matrix in consts (6.7 MB at SB=36), and the stamp is
-        # already periodized so offsets index it directly
+        # S_cc: covariance between the packed conditioning cells.  Two
+        # evaluation paths, same values (tests/test_chain_sgs.py):
+        #   - ANALYTIC MIXTURE (default when the covariance curve admits a
+        #     nonneg gaussian+exponential fit, ops/covariance.fit_cov_mixture):
+        #     ~12 fused exp ops on the pairwise distance — pure VPU math.
+        #     A vmapped (K, K) table gather costs ~6.5 ms/step-batch at 256
+        #     chains on TPU (XLA scalar-loop gather, measured 2026-08-16) —
+        #     by far the dominant cost of the old step — while the mixture
+        #     evaluation is ~0.2 ms-class.
+        #   - STAMP GATHER (fallback, e.g. the spherical model's range kink;
+        #     surgery gate "stampgather" forces it): gather BY OFFSET from
+        #     the periodized (NE, NE) covariance stamp.
         ia = top_idx // SB
         ja = top_idx - SB * ia
-        di = jnp.mod(ia[:, None] - ia[None, :], NE)
-        dj = jnp.mod(ja[:, None] - ja[None, :], NE)
-        S_cc = consts.cov_stamp[di, dj]
+        if static.Mg + static.Me > 0 and "stampgather" not in _cut:
+            dif = (ia[:, None] - ia[None, :]).astype(jnp.float32)
+            djf = (ja[:, None] - ja[None, :]).astype(jnp.float32)
+            h2 = (consts.qcoef[0] * djf * djf + consts.qcoef[1] * djf * dif
+                  + consts.qcoef[2] * dif * dif)
+            hn = jnp.sqrt(h2)
+            S_cc = jnp.zeros((static.K, static.K), jnp.float32)
+            for mm in range(static.Mg):
+                S_cc = S_cc + consts.mix_ag[mm] * jnp.exp(-consts.mix_bg[mm] * h2)
+            for mm in range(static.Me):
+                S_cc = S_cc + consts.mix_ae[mm] * jnp.exp(-consts.mix_be[mm] * hn)
+        else:
+            di = jnp.mod(ia[:, None] - ia[None, :], NE)
+            dj = jnp.mod(ja[:, None] - ja[None, :], NE)
+            S_cc = consts.cov_stamp[di, dj]
         eps = 1e-3 * jnp.maximum(consts.sill, 1.0)
-        w_p = masked_cg_solve(S_cc, m_sel, rhs_p, eps, static.cg_iters)
+        if "nocg" in _cut:  # surgery: identity solve
+            w_p = rhs_p
+        elif "cholsolve" in _cut:  # surgery: direct Cholesky (slower on the
+            # measured backend: batched 48x48 cholesky+trsm ~ +1.1 ms)
+            w_p = masked_spd_solve(S_cc, m_sel, rhs_p, eps)
+        else:
+            w_p = masked_cg_solve(S_cc, m_sel, rhs_p, eps, static.cg_iters)
         # scatter packed weights back to the window; Sigma_{:,C} w is a
         # covariance-stamp convolution (stationarity) -> FFT with the exact
         # spectrum (no wraparound: NE >= 2*SB covers all window offsets)
@@ -353,15 +410,18 @@ def make_sgs_kernel(static: SGSStatic):
         w_pad = jnp.zeros((NE, NE), jnp.float32).at[:SB, :SB].set(
             w_full.reshape(SB, SB))
         # real input + real symmetric spectrum -> half-spectrum FFT pair
-        adj = jnp.fft.irfft2(jnp.fft.rfft2(w_pad) * consts.embed_spec,
-                             s=(NE, NE))[:SB, :SB]
+        if "noadj" in _cut:  # surgery: skip the adjustment convolution
+            adj = jnp.float32(0.0) * w_pad[:SB, :SB]
+        else:
+            adj = jnp.fft.irfft2(jnp.fft.rfft2(w_pad) * consts.embed_spec,
+                                 s=(NE, NE))[:SB, :SB]
         z_draw = z_u + adj
         if static.has_nugget:
             z_draw = z_draw + jnp.sqrt(consts.nugget) * drop_u_nugget(noise)
         z_new_w = jnp.where(sim_mask, z_draw, z_w)
 
         # --- back to data space --------------------------------------------
-        if static.use_transform:
+        if static.use_transform and "nolut" not in _cut:
             bed_new_w = jnp.where(sim_mask, consts.nst.inverse(z_new_w), bed_w)
             bed_new_w = jnp.where(in_block & data_w,
                                   consts.nst.inverse(z_new_w), bed_new_w)
@@ -409,8 +469,11 @@ def make_sgs_kernel(static: SGSStatic):
             jnp.where(write, resampled_w + in_block.astype(jnp.float32),
                       resampled_w),
         ])
-        fields_out = jax.lax.dynamic_update_slice(state.fields, new_w,
-                                                  (0, sx, sy))
+        if "noscatter" in _cut:  # surgery: drop the state write-back
+            fields_out = state.fields + jnp.float32(1e-20) * new_w.mean()
+        else:
+            fields_out = jax.lax.dynamic_update_slice(state.fields, new_w,
+                                                      (0, sx, sy))
 
         y = jnp.where(accept & ~viol, delta, 0.0) - state.loss_comp
         t = state.loss_mc + y
@@ -716,6 +779,26 @@ class ChainSGS:
         cov_stamp, embed_spec, embed_sqrt, NE = _embedding_spectra(
             spec, rot_np, self.vario.sill, self.vario.nugget, SB,
             self.resolution)
+        # analytic S_CC mixture (ops/covariance.fit_cov_mixture): fit the
+        # covariance curve over the window's distance range; accept when the
+        # max abs error is below the CG solve's own diagonal jitter
+        # (1e-3 * sill-scale), else fall back to the stamp gather (e.g. the
+        # spherical model's range kink fits poorly)
+        from ..ops.covariance import fit_cov_mixture
+
+        Q = rot_np @ rot_np.T
+        qcoef = np.array([Q[0, 0], 2.0 * Q[0, 1], Q[1, 1]],
+                         np.float64) * self.resolution ** 2
+        S1 = float(SB - 1)
+        h_max = max(
+            float(np.sqrt(qcoef[0] * dj * dj + qcoef[1] * dj * di
+                          + qcoef[2] * di * di))
+            for dj, di in ((S1, S1), (S1, -S1)))
+        mix_ag, mix_bg, mix_ae, mix_be, mix_err = fit_cov_mixture(
+            spec, self.vario.sill, self.vario.nugget, h_max * 1.02)
+        amp = self.vario.sill - self.vario.nugget
+        if mix_err > 1e-3 * max(abs(amp), 1e-6):
+            mix_ag = mix_bg = mix_ae = mix_be = np.zeros((0,), np.float32)
         sample_ij = self._sample_ij()
         dropout = bool(self.sgs_params.rand_dropout_on
                        and self.sgs_params.dropout_rate > 0)
@@ -728,7 +811,8 @@ class ChainSGS:
             spec=spec, use_transform=self.do_transform,
             detrend=self.detrend_map, dropout=dropout,
             has_nugget=self.vario.nugget > 0,
-            cg_iters=cg_iters, NE=NE)
+            cg_iters=cg_iters, NE=NE,
+            Mg=int(mix_ag.shape[0]), Me=int(mix_ae.shape[0]))
         stacked = np.stack([
             self.surf, self.velx, self.vely, self.dhdt, self.smb,
             np.asarray(trend, np.float32),
@@ -759,6 +843,11 @@ class ChainSGS:
             dropout_rate=jnp.float32(self.sgs_params.dropout_rate),
             search_radius=jnp.float32(self.sgs_params.search_radius),
             mean_z=jnp.float32(mean_z),
+            mix_ag=jnp.asarray(mix_ag),
+            mix_bg=jnp.asarray(mix_bg),
+            mix_ae=jnp.asarray(mix_ae),
+            mix_be=jnp.asarray(mix_be),
+            qcoef=jnp.asarray(qcoef, jnp.float32),
         )
         self._initial_detrended = bed0
         return static, consts

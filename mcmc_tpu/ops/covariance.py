@@ -152,6 +152,46 @@ def cross_sigma(spec: CovarianceSpec, coords_a, coords_b, rotation_matrix, sill,
     return covariance_norm(spec, jnp.sqrt(d2), sill, nugget)
 
 
+def fit_cov_mixture(spec: CovarianceSpec, sill, nugget, h_max: float,
+                    n_grid: int = 2000):
+    """Nonnegative gaussian+exponential mixture fit of the covariance curve.
+
+    Approximates ``covariance_norm(spec, h, sill, nugget)`` on
+    ``h in [0, h_max]`` by
+
+        c(h) ~= sum_g a_g exp(-b_g h^2) + sum_e a_e exp(-b_e h)
+
+    with all weights >= 0 (scipy NNLS over a fixed log-spaced decay-rate
+    dictionary that includes the exact gaussian/exponential model rate 3.0).
+    Both dictionary families are valid covariance functions in R^2, so any
+    nonnegative combination is positive semi-definite — the fit can be used
+    to evaluate covariance MATRICES analytically (pure exp/VPU math) in
+    place of pairwise table gathers, which are pathologically slow on TPU
+    (measured 2026-08-16: a vmapped (256, 48, 48) gather from a small stamp
+    costs ~6.5 ms/step; the same values as ~25 fused exp ops cost ~0.2 ms).
+
+    Returns ``(a_g, b_g, a_e, b_e, max_abs_err)`` with zero-weight terms
+    pruned.  Callers should fall back to exact evaluation when
+    ``max_abs_err`` is too large (the spherical model's range kink fits
+    poorly; matern/gaussian/exponential fit to <= ~1e-3 * (sill-nugget)).
+    """
+    from scipy.optimize import nnls
+
+    h = np.linspace(0.0, float(h_max), n_grid)
+    c = np.asarray(
+        covariance_norm(spec, h, float(sill), float(nugget)), np.float64)
+    bg = np.unique(np.concatenate([np.logspace(-1.2, 2.2, 12), [3.0]]))
+    be = np.unique(np.concatenate([np.logspace(-0.7, 2.0, 12), [3.0]]))
+    A = np.concatenate([np.exp(-np.outer(h ** 2, bg)),
+                        np.exp(-np.outer(h, be))], axis=1)
+    a, _ = nnls(A, c, maxiter=50 * A.shape[1])
+    err = float(np.abs(A @ a - c).max())
+    a_g, a_e = a[: bg.size], a[bg.size:]
+    gm, em = a_g > 0, a_e > 0
+    return (a_g[gm].astype(np.float32), bg[gm].astype(np.float32),
+            a_e[em].astype(np.float32), be[em].astype(np.float32), err)
+
+
 # convenient partials mirroring the reference's `covmodels` registry
 covmodels = {
     name: partial(covariance_norm, CovarianceSpec(name))

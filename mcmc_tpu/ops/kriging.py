@@ -176,6 +176,31 @@ def ok_weights_masked(spec: CovarianceSpec, target_xy, coords, mask,
     return w[:k], sill - jnp.sum(w[:k] * rho)
 
 
+def masked_spd_solve(Sigma, mask, rhs, eps):
+    """Direct Cholesky solve of the same masked SPD system as
+    ``masked_cg_solve``:
+
+        (M Sigma M + (I - M) + eps I) w = M rhs,   M = diag(mask).
+
+    One batched (n, n) factorization instead of ~n sequential CG
+    iterations: on TPU the CG's fixed-iteration loop is LATENCY-bound (64
+    tiny dependent matvec rounds), measured at ~47% of the whole SGS
+    step-batch at n=48, K=256 chains — a single batched Cholesky +
+    triangular solves is the faster shape for small dense systems.
+
+    Sigma: (..., n, n); mask/rhs: (..., n).  Returns w (..., n) with
+    masked slots zeroed.
+    """
+    m = mask
+    n = Sigma.shape[-1]
+    Sm = Sigma * m[..., :, None] * m[..., None, :]
+    diag = eps + (1.0 - m)
+    Sm = Sm + jnp.eye(n, dtype=Sigma.dtype) * diag[..., None, :]
+    L = jnp.linalg.cholesky(Sm)
+    w = jax.scipy.linalg.cho_solve((L, True), (m * rhs)[..., None])[..., 0]
+    return w * m
+
+
 def masked_cg_solve(Sigma, mask, rhs, eps, n_iters: int = 48):
     """Fixed-iteration conjugate-gradient solve of the masked SPD system
 

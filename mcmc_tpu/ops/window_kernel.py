@@ -52,9 +52,13 @@ def fused_path_supported(H: int, W: int, B: int) -> bool:
     return ok_rows and ok_cols
 
 
+VMEM_RESIDENT_LIMIT = 8 * 1024 * 1024  # consts bytes; ~half of v5e VMEM
+
+
 def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
                              use_data_loss: bool = False,
-                             prefinished: bool = False):
+                             prefinished: bool = False,
+                             consts_resident: bool | None = None):
     """Build the fused window-update op.
 
     Returns fn(consts_stacked (10,H,W), fields (N,3,H,W), fraw (N,B,B),
@@ -85,6 +89,57 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             "W%128==0 or full-width window). Use impl='auto' or 'xla'.")
     SX, SY = fused_window_sizes(H, W, B)
     NP = 8 if use_data_loss else 6
+    if consts_resident is None:
+        # v5e VMEM is ~16 MB/core; keep the resident consts + the (small)
+        # scratch comfortably under it, else fall back to per-chain DMAs
+        consts_resident = NP * H * W * 4 <= VMEM_RESIDENT_LIMIT
+
+    def finish_proposal(raw, bh, bw, scale, edge_bb):
+        """Standardize the raw spectral field over the (bh, bw) block to
+        exact zero mean / unit variance (population std + 1e-12, reference
+        MCMC.py:248), scale, and apply the logistic edge mask."""
+        bi = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+        bj = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        bmask = ((bi < bh) & (bj < bw)).astype(jnp.float32)
+        nblk = jnp.maximum(jnp.sum(bmask), 1.0)
+        mean = jnp.sum(raw * bmask) / nblk
+        var = jnp.sum(jnp.square(raw - mean) * bmask) / nblk
+        f = (raw - mean) / (jnp.sqrt(var) + 1e-12) * bmask * scale
+        return f * edge_bb
+
+    def window_residual(surf_w, bed_new_w, velx_w, vely_w, forcing_w,
+                        resolution):
+        """Windowed mass-conservation residual, numpy-gradient semantics."""
+        thick = surf_w - bed_new_w
+        fx = velx_w * thick
+        fy = vely_w * thick
+        two_r = 2.0 * resolution
+        dx = jnp.concatenate([
+            (fx[:, 1:2] - fx[:, 0:1]) / resolution,
+            (fx[:, 2:] - fx[:, :-2]) / two_r,
+            (fx[:, -1:] - fx[:, -2:-1]) / resolution,
+        ], axis=1)
+        dy = jnp.concatenate([
+            (fy[1:2, :] - fy[0:1, :]) / resolution,
+            (fy[2:, :] - fy[:-2, :]) / two_r,
+            (fy[-1:, :] - fy[-2:-1, :]) / resolution,
+        ], axis=0)
+        return dx + dy + forcing_w
+
+    def place_canvas(f, shift_x, shift_y):
+        """Static zero-pad to (SX, SY) + dynamic circular roll."""
+        canvas = jnp.pad(f, ((0, SX - B), (0, SY - B)))
+        if interpret:
+            canvas = jnp.roll(canvas, shift_x, axis=0)
+            canvas = jnp.roll(canvas, shift_y, axis=1)
+        else:
+            canvas = pltpu.roll(canvas, shift_x, 0)
+            canvas = pltpu.roll(canvas, shift_y, 1)
+        return canvas
+
+    def nansq(x):
+        s = x * x
+        return jnp.where(jnp.isnan(s), 0.0, s)
 
     def kernel(geom_ref, fvals_ref, cons_hbm, fields_in, fraw_ref, edge_hbm,
                fields_out, acc_ref, delta_ref, ddata_ref,
@@ -154,44 +209,42 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             edma.wait()
             f = fraw_ref[0]
         else:
-            # finish the proposal: standardize over the (h, w) block to
-            # exact zero mean / unit variance (population std + 1e-12,
-            # reference MCMC.py:248), scale, edge-mask
-            bi = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
-            bj = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-            bmask = ((bi < bh) & (bj < bw)).astype(jnp.float32)
-            nblk = jnp.maximum(jnp.sum(bmask), 1.0)
-            raw = fraw_ref[0]
-            mean = jnp.sum(raw * bmask) / nblk
-            var = jnp.sum(jnp.square(raw - mean) * bmask) / nblk
-            f = (raw - mean) / (jnp.sqrt(var) + 1e-12) * bmask * scale
             edma.wait()
-            f = f * edge_vmem[slot][:, :B]
+            f = finish_proposal(fraw_ref[0], bh, bw, scale,
+                                edge_vmem[slot][:, :B])
 
-        # place the proposal canvas: static zero-pad + dynamic roll
-        canvas = jnp.pad(f, ((0, SX - B), (0, SY - B)))
-        if interpret:
-            canvas = jnp.roll(canvas, shift_x, axis=0)
-            canvas = jnp.roll(canvas, shift_y, axis=1)
-        else:
-            canvas = pltpu.roll(canvas, shift_x, 0)
-            canvas = pltpu.roll(canvas, shift_y, 1)
+        canvas = place_canvas(f, shift_x, shift_y)
 
         cdma.wait()
         sdma.wait()
 
-        cv = cons_vmem[slot]
-        sv = st_vmem[slot]
-        surf_w = cv[0]
-        velx_w = cv[1]
-        vely_w = cv[2]
-        forcing_w = cv[3]
-        mp_w = cv[4]
-        crfw_w = cv[5]
+        tail(i, sx, sy, geom_ref, fvals_ref, canvas,
+             lambda k: cons_vmem[slot][k], st_vmem[slot],
+             fields_out, acc_ref, delta_ref, ddata_ref, new_vmem,
+             sems.at[slot, 3])
+
+    def tail(i, sx, sy, geom_ref, fvals_ref, canvas, cplane, sv,
+             fields_out, acc_ref, delta_ref, ddata_ref, new_vmem, wsem):
+        """Shared MH tail: perturbation, residual, loss delta, accept,
+        conditional window writeback.  ``cplane(k)`` returns the k-th consts
+        plane window (from DMA'd scratch or VMEM-resident consts)."""
+        bxmin = geom_ref[i, 4]
+        bxmax = geom_ref[i, 5]
+        bymin = geom_ref[i, 6]
+        bymax = geom_ref[i, 7]
+        u = fvals_ref[i, 0]
+        loss_prev = fvals_ref[i, 1]
+        sigma = fvals_ref[i, 2]
+        resolution = fvals_ref[i, 3]
+        sigma_data = fvals_ref[i, 4]
+
+        surf_w = cplane(0)
+        velx_w = cplane(1)
+        vely_w = cplane(2)
+        forcing_w = cplane(3)
+        mp_w = cplane(4)
+        crfw_w = cplane(5)
         upd_w = mp_w - 2.0 * jnp.floor(mp_w * 0.5)  # maskpack % 2
-        if use_data_loss:
-            cond_w = cv[6]
-            dmask_w = cv[7]
         bed_w = sv[0]
         res_old_w = sv[1]
         resampled_w = sv[2]
@@ -205,33 +258,17 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         pert = jnp.where(in_block & (upd_w > 0), pert, 0.0)
         bed_new_w = bed_w + pert
 
-        # windowed mass-conservation residual, numpy-gradient semantics
-        thick = surf_w - bed_new_w
-        fx = velx_w * thick
-        fy = vely_w * thick
-        two_r = 2.0 * resolution
-        dx = jnp.concatenate([
-            (fx[:, 1:2] - fx[:, 0:1]) / resolution,
-            (fx[:, 2:] - fx[:, :-2]) / two_r,
-            (fx[:, -1:] - fx[:, -2:-1]) / resolution,
-        ], axis=1)
-        dy = jnp.concatenate([
-            (fy[1:2, :] - fy[0:1, :]) / resolution,
-            (fy[2:, :] - fy[:-2, :]) / two_r,
-            (fy[-1:, :] - fy[-2:-1, :]) / resolution,
-        ], axis=0)
-        res_new_w = dx + dy + forcing_w
+        res_new_w = window_residual(surf_w, bed_new_w, velx_w, vely_w,
+                                    forcing_w, resolution)
 
         patch = in_block & (mp_w >= 2.0)
-
-        def nansq(x):
-            s = x * x
-            return jnp.where(jnp.isnan(s), 0.0, s)
 
         denom = 2.0 * sigma * sigma
         delta = (jnp.sum(jnp.where(patch, nansq(res_new_w), 0.0))
                  - jnp.sum(jnp.where(patch, nansq(res_old_w), 0.0))) / denom
         if use_data_loss:
+            cond_w = cplane(6)
+            dmask_w = cplane(7)
             dpatch = in_block & (dmask_w > 0)
             ddenom = 2.0 * sigma_data * sigma_data
             delta_data = (jnp.sum(jnp.where(dpatch, nansq(bed_new_w - cond_w), 0.0))
@@ -258,44 +295,124 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             new_vmem[2] = resampled_w + jnp.where(in_block, upd_w, 0.0)
             wdma = pltpu.make_async_copy(
                 new_vmem, fields_out.at[i, :, pl.ds(sx, SX), pl.ds(sy, SY)],
-                sems.at[slot, 3])
+                wsem)
             wdma.start()
             wdma.wait()
 
+    def kernel_res(geom_ref, fvals_ref, cons_vm, fields_in, fraw_ref, edge_vm,
+                   fields_out, acc_ref, delta_ref, ddata_ref,
+                   st_vmem, new_vmem, sems):
+        """VMEM-resident variant: consts + edge masks live whole in VMEM
+        (constant index maps — copied in once, reused across the chain
+        grid), so the only per-chain DMAs are the state-window read and the
+        conditional writeback.  The per-chain DMA *issue* latency — not
+        bandwidth — dominates the HBM variant (measured 2026-08-16), so
+        halving the issue count is the lever; it also removes the consts
+        window HBM re-reads entirely."""
+        del fields_in
+        i = pl.program_id(0)
+        n_prog = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        def state_dma(j, s):
+            sx_j = pl.multiple_of(geom_ref[j, 0], 8) if SX != H else 0
+            sy_j = pl.multiple_of(geom_ref[j, 1], 128) if SY != W else 0
+            return pltpu.make_async_copy(
+                fields_out.at[j, :, pl.ds(sx_j, SX), pl.ds(sy_j, SY)],
+                st_vmem.at[s], sems.at[s, 0])
+
+        @pl.when(i == 0)
+        def _():
+            state_dma(0, 0).start()
+
+        @pl.when(i + 1 < n_prog)
+        def _():
+            state_dma(i + 1, nxt).start()
+
+        sx = pl.multiple_of(geom_ref[i, 0], 8) if SX != H else 0
+        sy = pl.multiple_of(geom_ref[i, 1], 128) if SY != W else 0
+        shift_x = geom_ref[i, 2]
+        shift_y = geom_ref[i, 3]
+        bh = geom_ref[i, 8]
+        bw = geom_ref[i, 9]
+        scale = fvals_ref[i, 5]
+
+        if prefinished:
+            f = fraw_ref[0]
+        else:
+            f = finish_proposal(fraw_ref[0], bh, bw, scale,
+                                edge_vm[geom_ref[i, 10]][:, :B])
+        canvas = place_canvas(f, shift_x, shift_y)
+
+        state_dma(i, slot).wait()
+
+        def cplane(k):
+            return cons_vm[k, pl.ds(sx, SX), pl.ds(sy, SY)]
+
+        tail(i, sx, sy, geom_ref, fvals_ref, canvas, cplane, st_vmem[slot],
+             fields_out, acc_ref, delta_ref, ddata_ref, new_vmem,
+             sems.at[slot, 1])
+
     def fn(consts_stacked, fields, fraw, edge_masks, geom, fvals):
         N = fields.shape[0]
-        # pad edge-mask lanes to the 128 tile so the by-index DMA slice is
-        # tiling-aligned
+        # pad edge-mask lanes to the 128 tile so the by-index DMA slice /
+        # VMEM layout is tiling-aligned
         EBL = _round_up(B, 128)
+        n_sizes = edge_masks.shape[0]
         if edge_masks.shape[-1] != EBL:
             edge_masks = jnp.pad(edge_masks,
                                  ((0, 0), (0, 0), (0, EBL - B)))
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(N,),
-            in_specs=[
+        if consts_resident:
+            in_specs = [
+                # consts + edge masks whole in VMEM, constant index map ->
+                # copied once, reused for every chain of the grid
+                pl.BlockSpec((NP, H, W), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
+                pl.BlockSpec((1, B, B), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),    # fraw
+                pl.BlockSpec((n_sizes, B, EBL), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            scratch_shapes = [
+                pltpu.VMEM((2, 3, SX, SY), jnp.float32),  # double-buffered
+                pltpu.VMEM((3, SX, SY), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ]
+            kern = kernel_res
+            consts_in = consts_stacked[:NP]
+        else:
+            in_specs = [
                 pl.BlockSpec(memory_space=pltpu.HBM),     # consts (8,H,W)
                 pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
                 pl.BlockSpec((1, B, B), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),    # fraw
                 pl.BlockSpec(memory_space=pltpu.HBM),     # edge_masks
-            ],
+            ]
+            scratch_shapes = [
+                pltpu.VMEM((2, NP, SX, SY), jnp.float32),   # double-buffered
+                pltpu.VMEM((2, 3, SX, SY), jnp.float32),
+                pltpu.VMEM((3, SX, SY), jnp.float32),
+                pltpu.VMEM((2, B, EBL), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ]
+            kern = kernel
+            consts_in = consts_stacked
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N,),
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
                 pl.BlockSpec(memory_space=pltpu.SMEM),    # accept (N,1)
                 pl.BlockSpec(memory_space=pltpu.SMEM),    # delta (N,1)
                 pl.BlockSpec(memory_space=pltpu.SMEM),    # delta_data (N,1)
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, NP, SX, SY), jnp.float32),   # double-buffered
-                pltpu.VMEM((2, 3, SX, SY), jnp.float32),
-                pltpu.VMEM((3, SX, SY), jnp.float32),
-                pltpu.VMEM((2, B, _round_up(B, 128)), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 4)),
-            ],
+            scratch_shapes=scratch_shapes,
         )
         fields_out, acc, delta, ddata = pl.pallas_call(
-            kernel,
+            kern,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(fields.shape, fields.dtype),
@@ -307,7 +424,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             # scalar-prefetch args) aliases the first output
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(geom, fvals, consts_stacked, fields, fraw, edge_masks)
+        )(geom, fvals, consts_in, fields, fraw, edge_masks)
         return fields_out, acc[:, 0], delta[:, 0], ddata[:, 0]
 
     return fn

@@ -166,3 +166,48 @@ class TestSGSChain:
         out = c.run(n_iter=80, seed=3)
         assert np.all(np.isfinite(out["loss"]))
         assert 0.005 < out["steps"].mean() < 0.995
+
+
+class TestMixtureSCC:
+    """Analytic mixture S_CC equals the periodized-stamp gather."""
+
+    @pytest.mark.parametrize("vario", [("Matern", 1.3), ("Gaussian", None),
+                                       ("Exponential", None)])
+    def test_mixture_matches_stamp(self, vario):
+        import jax.numpy as jnp
+
+        vtype, s = vario
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_sgs_chain(p)
+        c.set_variogram(vtype, 5e3, 1.3, 0.0, vario_smoothness=s)
+        static, consts = c.build()
+        assert static.Mg + static.Me > 0, "mixture fit should be accepted"
+        SB, NE = static.SB, static.NE
+        rng = np.random.default_rng(0)
+        idx = rng.permutation(SB * SB)[: static.K]
+        ia, ja = idx // SB, idx % SB
+        # stamp gather (ground truth, periodized)
+        di = np.mod(ia[:, None] - ia[None, :], NE)
+        dj = np.mod(ja[:, None] - ja[None, :], NE)
+        S_ref = np.asarray(consts.cov_stamp)[di, dj]
+        # mixture evaluation (as in the kernel)
+        q = np.asarray(consts.qcoef, np.float64)
+        dif = (ia[:, None] - ia[None, :]).astype(np.float64)
+        djf = (ja[:, None] - ja[None, :]).astype(np.float64)
+        h2 = q[0] * djf ** 2 + q[1] * djf * dif + q[2] * dif ** 2
+        hn = np.sqrt(h2)
+        S_mix = np.zeros_like(h2)
+        for a, b in zip(np.asarray(consts.mix_ag), np.asarray(consts.mix_bg)):
+            S_mix += a * np.exp(-b * h2)
+        for a, b in zip(np.asarray(consts.mix_ae), np.asarray(consts.mix_be)):
+            S_mix += a * np.exp(-b * hn)
+        # tolerance: fit error (<= 1e-3 * amp) + periodization tail
+        np.testing.assert_allclose(S_mix, S_ref, atol=2.5e-3 * 1.3)
+
+    def test_spherical_falls_back_to_stamp(self):
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_sgs_chain(p)
+        c.set_variogram("Spherical", 5e3, 1.0, 0.0)
+        static, _ = c.build()
+        assert static.Mg + static.Me == 0, \
+            "spherical range kink should reject the mixture fit"

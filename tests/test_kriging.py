@@ -145,3 +145,54 @@ class TestConditionalGaussian:
             jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0),
             jnp.zeros(1))
         assert float(m1[0]) == pytest.approx(float(m2[0]), abs=1e-4)
+
+
+class TestMaskedSolvers:
+    """masked_spd_solve (direct Cholesky) == masked_cg_solve == NumPy
+    subsystem solve on the same masked SPD system."""
+
+    @pytest.mark.parametrize("n_valid", [1, 20, 48])
+    def test_spd_solve_matches_cg_and_numpy(self, rng, n_valid):
+        from mcmc_tpu.ops.kriging import masked_cg_solve, masked_spd_solve
+
+        K, eps = 48, 1e-3
+        A = rng.normal(size=(K, K))
+        Sigma = (A @ A.T / K + np.eye(K)).astype(np.float32)  # SPD
+        mask = np.zeros(K, np.float32)
+        mask[rng.permutation(K)[:n_valid]] = 1.0
+        rhs = rng.normal(size=K).astype(np.float32)
+
+        w_direct = np.asarray(masked_spd_solve(
+            jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs),
+            jnp.float32(eps)))
+        w_cg = np.asarray(masked_cg_solve(
+            jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs),
+            jnp.float32(eps), 96))
+        idx = np.where(mask > 0)[0]
+        sub = Sigma[np.ix_(idx, idx)] + eps * np.eye(n_valid)
+        w_np = np.zeros(K, np.float32)
+        w_np[idx] = np.linalg.solve(sub, rhs[idx])
+
+        np.testing.assert_allclose(w_direct, w_np, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(w_cg, w_np, rtol=1e-3, atol=1e-3)
+        assert np.all(w_direct[mask == 0] == 0.0)
+
+    def test_spd_solve_batched(self, rng):
+        from mcmc_tpu.ops.kriging import masked_spd_solve
+
+        K, B = 16, 5
+        A = rng.normal(size=(B, K, K))
+        Sigma = (A @ np.swapaxes(A, -1, -2) / K
+                 + np.eye(K)).astype(np.float32)
+        mask = (rng.random((B, K)) < 0.7).astype(np.float32)
+        mask[:, 0] = 1.0
+        rhs = rng.normal(size=(B, K)).astype(np.float32)
+        w = np.asarray(masked_spd_solve(
+            jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs),
+            jnp.float32(1e-3)))
+        for b in range(B):
+            idx = np.where(mask[b] > 0)[0]
+            sub = Sigma[b][np.ix_(idx, idx)] + 1e-3 * np.eye(len(idx))
+            np.testing.assert_allclose(w[b, idx],
+                                       np.linalg.solve(sub, rhs[b, idx]),
+                                       rtol=2e-4, atol=2e-4)

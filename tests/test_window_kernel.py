@@ -30,7 +30,12 @@ def setup():
 
 
 class TestFusedKernel:
-    def test_matches_vmapped_xla_path(self, setup):
+    @pytest.mark.parametrize("mode", ["resident", "hbm"])
+    def test_matches_vmapped_xla_path(self, setup, monkeypatch, mode):
+        # small grids auto-select the VMEM-resident consts variant; "hbm"
+        # forces the per-chain-DMA variant so both kernels stay covered
+        if mode == "hbm":
+            monkeypatch.setenv("MCMC_TPU_CRF_SURGERY", "nores")
         static, consts, states = setup
         xla_step = jax.jit(
             lambda c, s: jax.vmap(make_step(static), in_axes=(None, 0))(c, s))
