@@ -120,7 +120,7 @@ def measure_cpu_baseline(p, chain, n_iter=150):
 
 
 def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
-                max_iters=6000, label="TPU"):
+                max_iters=6000, label="TPU", burn_iters=0):
     # segment size amortizes the tunneled host<->device roundtrip between
     # segments (~tens of ms each on axon; measured 2026-08-16: segment=100
     # cost ~0.5 ms/iter of pure dispatch overhead at 256 chains)
@@ -138,6 +138,17 @@ def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
     _ = float(np.asarray(states.loss_mc)[0])  # real sync (block_until_ready
     # does not wait for execution on the tunneled axon backend)
     log(f"[bench] {label} warmup (compile): {time.time() - t0:.1f}s")
+    # burn-in: move the chains off the initial transient so the ESS of the
+    # timed window reflects equilibrium sampling power rather than the
+    # monotone early loss decay (which deflates ESS); throughput itself is
+    # transient-indifferent
+    if burn_iters:
+        t0 = time.time()
+        for _ in range(max(1, burn_iters // segment)):
+            states, _ = sampler.run_segment(states, segment)
+        _ = float(np.asarray(states.loss_mc)[0])
+        log(f"[bench] {label} burn-in: {burn_iters} iters in "
+            f"{time.time() - t0:.1f}s")
     # timed adaptive loop
     done = 0
     accs = []
@@ -244,13 +255,14 @@ def main():
     chain = make_chain(p)
     chain.set_crf_data_weight()
     cpu_farm, cpu_single = measure_cpu_baseline(p, chain)
-    tpu_rate, ess_rate = measure_tpu(chain, label="TPU CRF")
+    tpu_rate, ess_rate = measure_tpu(chain, label="TPU CRF",
+                                     burn_iters=8000)
 
     sgs_chain = make_sgs_chain(p)
     sgs_cpu_farm, sgs_cpu_single = measure_cpu_sgs_baseline(p, sgs_chain)
     sgs_rate, sgs_ess_rate = measure_tpu(
         sgs_chain, n_chains=N_CHAINS_SGS, segment=200, min_seconds=6.0,
-        max_iters=2400, label="TPU SGS")
+        max_iters=2400, label="TPU SGS", burn_iters=2000)
 
     result = {
         "metric": f"chain_iters_per_sec_{N_CHAINS}chains_{GRID}x{GRID}",

@@ -401,6 +401,14 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
                     consts.rf.range_max_y, static.rf.isotropic)
                 if "nodraw" in _cut:  # surgery: skip the spectral FFT
                     f = jax.random.normal(k_field, (B, B))
+                elif "fixednoise" in _cut:  # surgery: keep density+FFT,
+                    # skip the normal draws (isolates RNG vs FFT cost)
+                    from ..ops.spectral import spectral_field_from_noise
+                    nh = (B, B // 2 + 1)
+                    f = spectral_field_from_noise(
+                        jnp.full(nh, 0.7, jnp.complex64), (B, B),
+                        static.rf.resolution, static.rf.model_name,
+                        range_x, range_y, static.rf.smoothness)
                 else:
                     f = spectral_field(k_field, (B, B), static.rf.resolution,
                                        static.rf.model_name, range_x, range_y,

@@ -176,7 +176,12 @@ class SGSConsts:
 
 @dataclasses.dataclass
 class SGSState:
-    fields: jnp.ndarray     # (3, H, W): detrended bed, mc_res, resampled
+    # (4, H, W): detrended bed, mc_res, resampled, z_bed.  The z-plane
+    # caches the normal-score transform of the bed plane (kept in sync on
+    # every accepted write) so the hot loop never runs the FORWARD
+    # transform — the reference re-transforms the full grid every
+    # iteration (MCMC.py:1766-1769); elementwise, so caching is equivalent.
+    fields: jnp.ndarray
     loss_mc: jnp.ndarray
     loss_comp: jnp.ndarray
     key: jnp.ndarray
@@ -193,6 +198,10 @@ class SGSState:
     @property
     def resampled(self):
         return self.fields[..., 2, :, :]
+
+    @property
+    def z_bed(self):
+        return self.fields[..., 3, :, :]
 
 
 import jax.tree_util as _tu
@@ -242,14 +251,18 @@ def _embedding_spectra(spec, rot_np, sill, nugget, SB, resolution):
             sqrtE.astype(np.float32), N)
 
 
-@jax.jit
-def sgs_init_state(bed_detrended, key, consts: SGSConsts) -> SGSState:
+@partial(jax.jit, static_argnames=("use_transform",))
+def sgs_init_state(bed_detrended, key, consts: SGSConsts,
+                   use_transform: bool = True) -> SGSState:
     bed = jnp.asarray(bed_detrended, jnp.float32)
     mc_res = mass_conservation_residual(
         bed + consts.trend, consts.surf, consts.velx, consts.vely,
         consts.dhdt, consts.smb, consts.resolution)
     loss_mc = masked_gaussian_loss(mc_res, consts.mc_mask, consts.sigma_mc)
-    fields = jnp.stack([bed, mc_res, jnp.zeros(bed.shape, jnp.float32)])
+    # z-plane cache (see SGSState); identity when no transform is configured
+    # (the placeholder LUT must never be evaluated)
+    z0 = consts.nst.transform(bed) if use_transform else bed
+    fields = jnp.stack([bed, mc_res, jnp.zeros(bed.shape, jnp.float32), z0])
     return SGSState(fields=fields, loss_mc=jnp.float32(loss_mc),
                     loss_comp=jnp.float32(0.0), key=key,
                     accepted=jnp.int32(0))
@@ -292,10 +305,10 @@ def make_sgs_kernel(static: SGSStatic):
         else:
             cw = jax.lax.dynamic_slice(consts.stacked, (0, sx, sy),
                                        (10, SB, SB))
-            sw = jax.lax.dynamic_slice(state.fields, (0, sx, sy), (3, SB, SB))
+            sw = jax.lax.dynamic_slice(state.fields, (0, sx, sy), (4, SB, SB))
         (surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f, mcf_w,
          zcond_w, dataf_w) = cw
-        bed_w, res_old_w, resampled_w = sw
+        bed_w, res_old_w, resampled_w, zbed_w = sw
         data_w = dataf_w > 0
 
         # --- roles ----------------------------------------------------------
@@ -309,9 +322,12 @@ def make_sgs_kernel(static: SGSStatic):
         if static.dropout:
             cond_mask = cond_mask & (drop_u >= consts.dropout_rate)
 
-        # --- transformed window values -------------------------------------
+        # --- transformed window values: read the z-plane CACHE (kept in
+        # sync with the bed plane on every accepted write) instead of
+        # re-running the forward LUT — a gather-based call measured at
+        # ~0.6 ms/step-batch at 256 chains (2026-08-16)
         if static.use_transform and "nolut" not in _cut:
-            z_w = consts.nst.transform(bed_w)
+            z_w = zbed_w
         else:
             z_w = bed_w
         z_w = jnp.where(in_block & data_w, zcond_w, z_w)
@@ -420,11 +436,12 @@ def make_sgs_kernel(static: SGSStatic):
             z_draw = z_draw + jnp.sqrt(consts.nugget) * drop_u_nugget(noise)
         z_new_w = jnp.where(sim_mask, z_draw, z_w)
 
-        # --- back to data space --------------------------------------------
+        # --- back to data space (ONE inverse LUT call; data cells re-snap
+        # to inverse(transform(cond)) exactly like the reference) -----------
         if static.use_transform and "nolut" not in _cut:
-            bed_new_w = jnp.where(sim_mask, consts.nst.inverse(z_new_w), bed_w)
-            bed_new_w = jnp.where(in_block & data_w,
-                                  consts.nst.inverse(z_new_w), bed_new_w)
+            inv_draw = consts.nst.inverse(z_new_w)
+            bed_new_w = jnp.where(sim_mask | (in_block & data_w),
+                                  inv_draw, bed_w)
         else:
             bed_new_w = jnp.where(in_block, z_new_w, bed_w)
 
@@ -468,6 +485,10 @@ def make_sgs_kernel(static: SGSStatic):
             jnp.where(write, res_patched_w, res_old_w),
             jnp.where(write, resampled_w + in_block.astype(jnp.float32),
                       resampled_w),
+            # z-plane cache stays in sync with the bed plane (z_new_w
+            # contains zcond at in-block data cells, matching the bed
+            # plane's inverse re-snap)
+            jnp.where(write, z_new_w, zbed_w),
         ])
         if "noscatter" in _cut:  # surgery: drop the state write-back
             fields_out = state.fields + jnp.float32(1e-20) * new_w.mean()
@@ -855,7 +876,8 @@ class ChainSGS:
     def run(self, n_iter, only_save_last_bed=True, save_beds=None, seed=None):
         static, consts = self.build()
         key = as_key(seed) if seed is not None else (self._key or as_key(None))
-        state = sgs_init_state(self._initial_detrended, key, consts)
+        state = sgs_init_state(self._initial_detrended, key, consts,
+                               use_transform=static.use_transform)
         if save_beds is None:
             save_beds = not only_save_last_bed
         final, traces = run_sgs_chain(static, consts, state, int(n_iter),

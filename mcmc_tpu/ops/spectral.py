@@ -101,6 +101,17 @@ def _freq_grid(shape, res):
     return jnp.asarray(_freq_grid_np(tuple(shape), float(res)))
 
 
+def spectral_field_from_noise(noise, shape, res, model_name: str, range_x,
+                              range_y, smoothness):
+    """Half-spectrum synthesis from caller-provided complex white noise of
+    shape ``(ny, nx//2+1)`` (see ``spectral_field``)."""
+    kh = jnp.asarray(_rfreq_grid_np(tuple(shape), float(res)))
+    s_dens = spectral_density(model_name, kh, range_x, range_y, smoothness)
+    spec = noise * jnp.sqrt(s_dens).astype(jnp.complex64)
+    field = jnp.fft.irfft2(spec, s=tuple(shape))
+    return field.astype(jnp.float32)
+
+
 def spectral_field(key, shape, res, model_name: str, range_x, range_y,
                    smoothness):
     """One raw (unit-ish) field realization of static ``shape`` = (ny, nx).
@@ -115,14 +126,11 @@ def spectral_field(key, shape, res, model_name: str, range_x, range_y,
     NOT standardized or scaled; callers standardize over the active block
     mask and apply scale/nugget (see models.randfield.draw_block).
     """
-    kh = jnp.asarray(_rfreq_grid_np(tuple(shape), float(res)))
-    s_dens = spectral_density(model_name, kh, range_x, range_y, smoothness)
+    nh = (shape[0], shape[1] // 2 + 1)
     kr, ki = jax.random.split(key)
-    noise = (jax.random.normal(kr, kh.shape)
-             + 1j * jax.random.normal(ki, kh.shape))
-    spec = noise * jnp.sqrt(s_dens).astype(jnp.complex64)
-    field = jnp.fft.irfft2(spec, s=tuple(shape))
-    return field.astype(jnp.float32)
+    noise = (jax.random.normal(kr, nh) + 1j * jax.random.normal(ki, nh))
+    return spectral_field_from_noise(noise, shape, res, model_name,
+                                     range_x, range_y, smoothness)
 
 
 def standardize_masked(field, mask):

@@ -154,8 +154,10 @@ class MultiChainSampler:
         if self.is_sgs:
             from ..models.chain_sgs import sgs_init_state
 
+            ut = bool(self.static.use_transform)
             states = jax.jit(jax.vmap(
-                lambda b, k: sgs_init_state(b, k, self.consts)))(beds, keys)
+                lambda b, k: sgs_init_state(b, k, self.consts,
+                                            use_transform=ut)))(beds, keys)
         else:
             states = init_states(beds, keys, self.consts)
         if self.mesh is not None:
