@@ -252,17 +252,28 @@ def _embedding_spectra(spec, rot_np, sill, nugget, SB, resolution):
 
 
 @partial(jax.jit, static_argnames=("use_transform",))
-def sgs_init_state(bed_detrended, key, consts: SGSConsts,
+def sgs_init_state(bed_detrended, key, consts: SGSConsts, z0=None,
                    use_transform: bool = True) -> SGSState:
+    """``z0`` is the HOST-precomputed normal-score transform of the initial
+    bed (exact ``NormalScoreTransform.transform_np``; the in-step LUT is an
+    approximation of the same curve).  It must be precomputed because a
+    device-side full-grid LUT gather at farm scale lowers to a
+    memory-exploding XLA gather (observed: 32 GB allocation at 256 chains
+    on a 512x512 grid).  Required when ``use_transform``; ignored
+    otherwise (the z-plane then mirrors the bed plane)."""
     bed = jnp.asarray(bed_detrended, jnp.float32)
     mc_res = mass_conservation_residual(
         bed + consts.trend, consts.surf, consts.velx, consts.vely,
         consts.dhdt, consts.smb, consts.resolution)
     loss_mc = masked_gaussian_loss(mc_res, consts.mc_mask, consts.sigma_mc)
-    # z-plane cache (see SGSState); identity when no transform is configured
-    # (the placeholder LUT must never be evaluated)
-    z0 = consts.nst.transform(bed) if use_transform else bed
-    fields = jnp.stack([bed, mc_res, jnp.zeros(bed.shape, jnp.float32), z0])
+    if use_transform:
+        if z0 is None:
+            raise ValueError(
+                "use_transform=True requires the host-precomputed z0 plane")
+        z = jnp.asarray(z0, jnp.float32)
+    else:
+        z = bed
+    fields = jnp.stack([bed, mc_res, jnp.zeros(bed.shape, jnp.float32), z])
     return SGSState(fields=fields, loss_mc=jnp.float32(loss_mc),
                     loss_comp=jnp.float32(0.0), key=key,
                     accepted=jnp.int32(0))
@@ -761,6 +772,8 @@ class ChainSGS:
             z_cond = np.where(dmask, z_cond, 0.0)
             mean_z = 0.0
             lut = NormalScoreLUT.from_transform(nst)
+            self._host_nst = nst
+            initial_z = np.asarray(nst.transform_np(bed0), np.float32)
         else:
             nst = NormalScoreTransform(quantiles=np.array([0.0, 1.0]),
                                        references=np.array([0.0, 1.0]))
@@ -772,6 +785,8 @@ class ChainSGS:
             lut = NormalScoreLUT(fwd_lo=jnp.float32(0), fwd_scale=jnp.float32(1),
                                  fwd_table=eye, inv_lo=jnp.float32(0),
                                  inv_scale=jnp.float32(1), inv_table=eye)
+            self._host_nst = None
+            initial_z = None
 
         # initial-bed sanity (block-local guard equivalence, see docstring)
         viol0 = np.sum(((self.surf - self.initial_bed) <= 0)
@@ -871,12 +886,26 @@ class ChainSGS:
             qcoef=jnp.asarray(qcoef, jnp.float32),
         )
         self._initial_detrended = bed0
+        self._initial_z = initial_z
         return static, consts
+
+    def host_transform(self, bed_detrended):
+        """Exact normal-score transform of a (batched) detrended bed, on
+        the host (used to precompute the z-plane for farm init; see
+        ``sgs_init_state``).  Returns None when no transform is set."""
+        if not self.do_transform:
+            return None
+        nst = getattr(self, "_host_nst", None)
+        if nst is None:
+            raise ValueError("call build() before host_transform()")
+        return np.asarray(nst.transform_np(np.asarray(bed_detrended)),
+                          np.float32)
 
     def run(self, n_iter, only_save_last_bed=True, save_beds=None, seed=None):
         static, consts = self.build()
         key = as_key(seed) if seed is not None else (self._key or as_key(None))
         state = sgs_init_state(self._initial_detrended, key, consts,
+                               z0=self._initial_z,
                                use_transform=static.use_transform)
         if save_beds is None:
             save_beds = not only_save_last_bed

@@ -155,9 +155,20 @@ class MultiChainSampler:
             from ..models.chain_sgs import sgs_init_state
 
             ut = bool(self.static.use_transform)
-            states = jax.jit(jax.vmap(
-                lambda b, k: sgs_init_state(b, k, self.consts,
-                                            use_transform=ut)))(beds, keys)
+            if ut:
+                # z-plane precomputed host-side (exact transform); the
+                # device LUT gather on a full farm grid is memory-hostile
+                z0 = jnp.asarray(self.chain.host_transform(initial_beds))
+                if self.mesh is not None:
+                    z0 = shard_chains(z0, self.mesh)
+                states = jax.jit(jax.vmap(
+                    lambda b, k, z: sgs_init_state(
+                        b, k, self.consts, z0=z, use_transform=True)))(
+                            beds, keys, z0)
+            else:
+                states = jax.jit(jax.vmap(
+                    lambda b, k: sgs_init_state(
+                        b, k, self.consts, use_transform=False)))(beds, keys)
         else:
             states = init_states(beds, keys, self.consts)
         if self.mesh is not None:
