@@ -381,7 +381,49 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
                                      consts_resident=(
                                          False if "nores" in _cut else None))
 
+    # hardware-PRNG noise for the spectral draw (ops/noise_kernel) — OPT-IN
+    # via MCMC_TPU_CRF_SURGERY=hwrng.  On the tunneled axon v5e-1 it is a
+    # measured NET LOSS (0.815 vs 0.770 ms/step-batch at 256 chains,
+    # 2026-08-17): the kernel's HBM write + complex re-assembly outweigh
+    # the ~0.11 ms threefry saving.  Kept reachable because the balance
+    # may differ on non-tunneled hardware.
+    from ..ops.noise_kernel import batched_normal, hw_rng_available
+    use_hw_rng = (static.rf.spectral and not prefinished and not interpret
+                  and "hwrng" in _cut and hw_rng_available())
+
     def step(consts: CRFConsts, states: ChainState):
+        if use_hw_rng:
+            from ..ops.spectral import spectral_field_from_noise
+
+            def draws_pre(key):
+                key, k_block, k_center, k_u = jax.random.split(key, 4)
+                k_size, k_params, k_field, _ = jax.random.split(k_block, 4)
+                size_idx = jax.random.randint(k_size, (), 0,
+                                              static.rf.n_sizes)
+                w = consts.rf.pairs[0, size_idx]
+                h = consts.rf.pairs[1, size_idx]
+                scale, _nug, range_x, range_y = sample_field_params(
+                    k_params, consts.rf.scale_min, consts.rf.scale_max,
+                    consts.rf.nugget_max, consts.rf.range_min_x,
+                    consts.rf.range_max_x, consts.rf.range_min_y,
+                    consts.rf.range_max_y, static.rf.isotropic)
+                cidx = jax.random.randint(k_center, (), 0, static.n_region)
+                u = jax.random.uniform(k_u, ())
+                return (key, k_field, size_idx, scale, range_x, range_y,
+                        w, h, cidx, u)
+
+            (key, k_field, size_idx, scale, range_x, range_y, w, h, cidx,
+             u) = jax.vmap(draws_pre)(states.key)
+            Bh = B // 2 + 1
+            zn = batched_normal(k_field, 2 * B, Bh)
+            noise = zn[:, :B] + 1j * zn[:, B:]
+            f = jax.vmap(
+                lambda nz, rx, ry: spectral_field_from_noise(
+                    nz, (B, B), static.rf.resolution, static.rf.model_name,
+                    rx, ry, static.rf.smoothness))(noise, range_x, range_y)
+            return _tail(consts, states, key, f, size_idx, scale, w, h,
+                         cidx, u)
+
         def draws(key):
             key, k_block, k_center, k_u = jax.random.split(key, 4)
             if prefinished:
@@ -418,6 +460,9 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
             return key, f, size_idx, scale, w, h, cidx, u
 
         key, f, size_idx, scale, w, h, cidx, u = jax.vmap(draws)(states.key)
+        return _tail(consts, states, key, f, size_idx, scale, w, h, cidx, u)
+
+    def _tail(consts, states, key, f, size_idx, scale, w, h, cidx, u):
         cx = consts.region_cells[cidx, 0]
         cy = consts.region_cells[cidx, 1]
 
