@@ -178,7 +178,16 @@ class CheckpointManager:
                          if k.startswith("hist_")}
         states = _arrays_to_state(state_arrays,
                                   meta.pop("state_class", "ChainState"))
-        return meta.pop("cumulative_iter"), states, histories, meta
+        cum = meta.pop("cumulative_iter")
+        if not histories:
+            # histories normally live in incremental hist_{a}_{b}.npz
+            # segment files, not inline in the state checkpoint — merge
+            # them so direct load() consumers (e.g. visualization) see the
+            # full traces, truncated to the state's iteration count (a
+            # crash between a history append and the state write must not
+            # surface phantom rows)
+            histories = self.load_history(upto=cum)
+        return cum, states, histories, meta
 
 
 def run_with_checkpointing(sampler, n_iter: int, directory,

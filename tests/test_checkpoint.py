@@ -31,6 +31,22 @@ class TestCheckpoint:
                                       np.asarray(jax.random.key_data(states.key)))
         assert hist["loss"].shape == (2, 17)
 
+    def test_load_merges_incremental_histories(self, tmp_path):
+        """Histories written via append_history (the run_with_checkpointing
+        protocol) must surface from a plain load() — regression: direct
+        consumers like examples/05 saw empty histories."""
+        s = make_sampler()
+        states = s.init(seeds=3)
+        mgr = CheckpointManager(tmp_path)
+        mgr.append_history(0, 10, {"loss": np.arange(20).reshape(2, 10)})
+        mgr.append_history(10, 18, {"loss": np.arange(16).reshape(2, 8)})
+        mgr.save(15, states)  # state behind the history tail (crash window)
+        it, _, hist, _ = mgr.load()
+        assert it == 15
+        assert hist["loss"].shape == (2, 15)  # truncated to the state iter
+        np.testing.assert_array_equal(hist["loss"][:, :10],
+                                      np.arange(20).reshape(2, 10))
+
     def test_old_checkpoints_deleted_after_new(self, tmp_path):
         s = make_sampler()
         states = s.init(seeds=3)
