@@ -238,6 +238,30 @@ def make_grid(xmin, xmax, ymin, ymax, res):
     return coords, cols, rows
 
 
+def crop_study_area(df, x_range, y_range, x_name="x", y_name="y"):
+    """Crop a gridded per-glacier dataframe to a rectangular study area
+    (the reference's cropStudyArea.ipynb workflow: boolean x/y-range
+    filtering of the T1 compiled CSV, then reshape per column).
+
+    Returns (df_cropped, xx, yy, (rows, cols)); any column can be
+    rasterized with ``df_cropped[col].to_numpy().reshape(rows, cols)``.
+    Bounds are half-open-agnostic: strictly-inside like the notebook
+    (``x > x_range[0]`` etc.).
+    """
+    m = ((df[x_name] > x_range[0]) & (df[x_name] < x_range[1])
+         & (df[y_name] > y_range[0]) & (df[y_name] < y_range[1]))
+    dfc = df[m].copy()
+    x_uniq = np.unique(dfc[x_name])
+    y_uniq = np.unique(dfc[y_name])
+    rows, cols = len(y_uniq), len(x_uniq)
+    if rows * cols != len(dfc):
+        raise ValueError(
+            f"cropped frame is not a complete raster: {rows}x{cols} grid "
+            f"vs {len(dfc)} rows — is the input the gridded T1 CSV?")
+    xx, yy = np.meshgrid(x_uniq, y_uniq)
+    return dfc, xx, yy, (rows, cols)
+
+
 def grid_data(df, x_name, y_name, z_name, res, xmin, xmax, ymin, ymax):
     """Average scattered measurements onto a square grid
     (reference Topography.py:457-498, itself adapted from GStatSim).

@@ -211,3 +211,44 @@ class TestMixtureSCC:
         static, _ = c.build()
         assert static.Mg + static.Me == 0, \
             "spherical range kink should reject the mixture fit"
+
+    def test_mixture_matches_stamp_anisotropic(self):
+        """The qcoef quadratic form must carry the rotated/anisotropic
+        metric: mixture S_CC == stamp gather under azimuth + 2:1 ranges."""
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_sgs_chain(p)
+        c.set_variogram("Gaussian", [8e3, 4e3], 1.0, 0.0, isotropic=False,
+                        vario_azimuth=30.0)
+        static, consts = c.build()
+        assert static.Mg + static.Me > 0
+        SB, NE = static.SB, static.NE
+        rng = np.random.default_rng(1)
+        idx = rng.permutation(SB * SB)[: static.K]
+        ia, ja = idx // SB, idx % SB
+        di = np.mod(ia[:, None] - ia[None, :], NE)
+        dj = np.mod(ja[:, None] - ja[None, :], NE)
+        S_ref = np.asarray(consts.cov_stamp)[di, dj]
+        q = np.asarray(consts.qcoef, np.float64)
+        dif = (ia[:, None] - ia[None, :]).astype(np.float64)
+        djf = (ja[:, None] - ja[None, :]).astype(np.float64)
+        h2 = q[0] * djf ** 2 + q[1] * djf * dif + q[2] * dif ** 2
+        S_mix = np.zeros_like(h2)
+        for a, b in zip(np.asarray(consts.mix_ag), np.asarray(consts.mix_bg)):
+            S_mix += a * np.exp(-b * h2)
+        for a, b in zip(np.asarray(consts.mix_ae), np.asarray(consts.mix_be)):
+            S_mix += a * np.exp(-b * np.sqrt(h2))
+        np.testing.assert_allclose(S_mix, S_ref, atol=2.5e-3)
+
+
+class TestNuggetPath:
+    def test_nugget_chain_runs_and_adds_noise(self):
+        """has_nugget branch: the draw adds sqrt(nugget) white noise; the
+        chain stays finite and the proposal variance grows accordingly."""
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_sgs_chain(p)
+        c.set_variogram("Exponential", 5e3, 1.0, 0.3)
+        static, _ = c.build()
+        assert static.has_nugget
+        out = c.run(n_iter=60, seed=5)
+        assert np.all(np.isfinite(out["loss"]))
+        assert np.all(np.isfinite(out["bed"]))

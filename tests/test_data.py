@@ -134,3 +134,37 @@ class TestGatedLoaders:
         with pytest.raises(ValueError):
             load_smb_racmo("x.nc", np.zeros((2, 2)), np.zeros((2, 2)), 500.0,
                            time=1900)
+
+
+class TestCropStudyArea:
+    def test_crop_matches_notebook_semantics(self):
+        """cropStudyArea.ipynb workflow: strict x/y-range filter of the
+        gridded CSV, reshaped per column."""
+        import pandas as pd
+
+        from mcmc_tpu.data import crop_study_area
+
+        res = 500.0
+        x = np.arange(0, 20) * res
+        y = np.arange(0, 15) * res
+        xx, yy = np.meshgrid(x, y)
+        df = pd.DataFrame({"x": xx.ravel(), "y": yy.ravel(),
+                           "bed": (xx + 2 * yy).ravel()})
+        dfc, cxx, cyy, (rows, cols) = crop_study_area(
+            df, (1000, 8000), (500, 6000))
+        assert (rows, cols) == (len(np.unique(cyy)), len(np.unique(cxx)))
+        assert np.all(cxx > 1000) and np.all(cxx < 8000)
+        assert np.all(cyy > 500) and np.all(cyy < 6000)
+        bed = dfc["bed"].to_numpy().reshape(rows, cols)
+        np.testing.assert_allclose(bed, cxx + 2 * cyy)
+
+    def test_crop_rejects_non_raster(self):
+        import pandas as pd
+        import pytest
+
+        from mcmc_tpu.data import crop_study_area
+
+        df = pd.DataFrame({"x": [0.0, 500.0, 500.0],
+                           "y": [0.0, 0.0, 500.0], "bed": [1, 2, 3.0]})
+        with pytest.raises(ValueError, match="raster"):
+            crop_study_area(df, (-1, 1000), (-1, 1000))
