@@ -126,15 +126,19 @@ class MultiChainSampler:
         SGS bed per chain, largeScaleChain_multiprocessing.py:602-606).
         seeds: int master seed, list of per-chain ints, or None.
         """
+        z0_shared = None  # 2D z-plane to broadcast (SGS transform path)
         if initial_beds is None:
             initial_beds = (self.chain._initial_detrended if self.is_sgs
                             else self.chain.initial_bed)
+            if self.is_sgs:
+                z0_shared = getattr(self.chain, "_initial_z", None)
         elif self.is_sgs:
             # SGS state lives in detrended (and clamp-roundtripped) space;
             # per-chain full-space beds are preprocessed like the builder's
             initial_beds = self._preprocess_sgs_beds(initial_beds)
         initial_beds = np.asarray(initial_beds, np.float32)
-        if initial_beds.ndim == 2:
+        shared_2d = initial_beds.ndim == 2
+        if shared_2d:
             initial_beds = np.broadcast_to(
                 initial_beds, (self.n_chains, *initial_beds.shape))
         if initial_beds.shape[0] != self.n_chains:
@@ -157,8 +161,17 @@ class MultiChainSampler:
             ut = bool(self.static.use_transform)
             if ut:
                 # z-plane precomputed host-side (exact transform); the
-                # device LUT gather on a full farm grid is memory-hostile
-                z0 = jnp.asarray(self.chain.host_transform(initial_beds))
+                # device LUT gather on a full farm grid is memory-hostile.
+                # When every chain shares one bed, transform the 2D plane
+                # once and broadcast (not n_chains interp passes).
+                if z0_shared is None and shared_2d:
+                    z0_shared = self.chain.host_transform(initial_beds[0])
+                if z0_shared is not None:
+                    z0 = jnp.asarray(np.broadcast_to(
+                        np.asarray(z0_shared, np.float32),
+                        initial_beds.shape))
+                else:
+                    z0 = jnp.asarray(self.chain.host_transform(initial_beds))
                 if self.mesh is not None:
                     z0 = shard_chains(z0, self.mesh)
                 states = jax.jit(jax.vmap(

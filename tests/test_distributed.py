@@ -89,3 +89,63 @@ print("DISTRIBUTED_OK")
                              capture_output=True, text=True, timeout=300,
                              cwd=root, env=env)
         assert "DISTRIBUTED_OK" in out.stdout, (out.stdout, out.stderr)
+
+    def test_two_process_cluster_collective(self, tmp_path):
+        """A REAL 2-process jax.distributed cluster (Gloo over localhost):
+        both processes join the coordinator, build the global chains mesh,
+        run a host-level allgather AND a jitted cross-process all-reduce
+        over a global sharded array."""
+        import os
+        import pathlib
+
+        root = str(pathlib.Path(__file__).resolve().parents[1])
+        worker = tmp_path / "worker.py"
+        worker.write_text(r"""
+import sys
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mcmc_tpu.parallel.distributed import (initialize_distributed,
+                                           global_chains_mesh)
+ok = initialize_distributed(coordinator_address="localhost:43937",
+                            num_processes=2, process_id=pid)
+assert ok and jax.process_count() == 2, (ok, jax.process_count())
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental import multihost_utils
+mesh = global_chains_mesh()
+assert len(jax.devices()) == 2
+x = jnp.ones((1,)) * (pid + 1)
+g = multihost_utils.process_allgather(x)
+assert g.shape == (2, 1) and float(g.sum()) == 3.0, g
+sharding = NamedSharding(mesh, P("chains"))
+local = np.full((1,), float(pid + 1), np.float32)
+garr = jax.make_array_from_single_device_arrays(
+    (2,), sharding, [jax.device_put(local, jax.local_devices()[0])])
+total = jax.jit(lambda a: jnp.sum(a),
+                out_shardings=NamedSharding(mesh, P()))(garr)
+assert float(np.asarray(total)) == 3.0, total
+jax.distributed.shutdown()
+print("TWO_PROC_OK", flush=True)
+""" % root)
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        env["PYTHONPATH"] = root
+        env["JAX_PLATFORMS"] = "cpu"
+        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        try:
+            out1, _ = p1.communicate(timeout=280)
+            out0, _ = p0.communicate(timeout=30)
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+        assert "TWO_PROC_OK" in out0, out0
+        assert "TWO_PROC_OK" in out1, out1
