@@ -259,6 +259,16 @@ def crop_study_area(df, x_range, y_range, x_name="x", y_name="y"):
             f"cropped frame is not a complete raster: {rows}x{cols} grid "
             f"vs {len(dfc)} rows — is the input the gridded T1 CSV?")
     xx, yy = np.meshgrid(x_uniq, y_uniq)
+    # the reshape contract requires ascending y-major/x-minor row order
+    # (what T1's grid_data writes); any other ordering — e.g. a north-up
+    # y-descending export — would pass the size check but silently pair
+    # values with the wrong coordinates, so verify instead of assuming
+    if not (np.array_equal(dfc[x_name].to_numpy(float), xx.ravel())
+            and np.array_equal(dfc[y_name].to_numpy(float), yy.ravel())):
+        raise ValueError(
+            "cropped frame rows are not in ascending y-major/x-minor "
+            "raster order; sort with df.sort_values([y, x]) first (a "
+            "north-up export is y-descending and must be re-sorted)")
     return dfc, xx, yy, (rows, cols)
 
 

@@ -50,6 +50,13 @@ def _arrays_to_state(d: dict, cls_name: str = "ChainState"):
     import jax.numpy as jnp
 
     cls = _state_classes()[cls_name]
+    if cls_name == "SGSState" and np.asarray(d["fields"]).shape[-3] == 3:
+        raise ValueError(
+            "this SGS checkpoint predates the 4-plane state (no cached "
+            "normal-score z-plane) and cannot be resumed: the z-plane "
+            "cannot be reconstructed without the fitted transform. Restart "
+            "the run, or rebuild the state from the checkpointed bed plane "
+            "via MultiChainSampler.init(initial_beds=bed + trend).")
     key = jax.random.wrap_key_data(jnp.asarray(d["key_data"]))
     kwargs = {k: jnp.asarray(v) for k, v in d.items() if k != "key_data"}
     return cls(key=key, **kwargs)

@@ -279,10 +279,19 @@ def sgs_init_state(bed_detrended, key, consts: SGSConsts, z0=None,
                     accepted=jnp.int32(0))
 
 
-def make_sgs_kernel(static: SGSStatic):
-    """MH update core with injectable randomness:
-    (consts, state, cx, cy, bsx, bsy, noise (NE*NE [+SB*SB if nugget],),
-    drop_u (SB,SB), u, key)."""
+def make_sgs_stages(static: SGSStatic):
+    """The MH update split into two per-chain stages around the packed
+    conditioning solve, so a BATCHED step can run the solve once over the
+    whole chain batch (the fused Pallas CG of ops/cg_kernel):
+
+      prepare(consts, state, cx, cy, bsx, bsy, noise, drop_u)
+          -> (pre, (S_cc, m_sel, rhs_p, eps))
+      solve_one(S_cc, m_sel, rhs_p, eps)   # per-chain XLA solve
+      finalize(consts, state, pre, w_p, noise, u, key) -> (state', trace)
+
+    ``pre`` is an opaque tuple threaded between the stages; within one jit
+    XLA fuses across the stage boundary, so the split costs nothing.
+    """
     H, W, SB, BMX, BMY, M, NE = (static.H, static.W, static.SB, static.BMX,
                                  static.BMY, static.M, static.NE)
     # perf-surgery gates (profiling only; unset in production => no effect):
@@ -294,8 +303,8 @@ def make_sgs_kernel(static: SGSStatic):
     def drop_u_nugget(noise):
         return noise[2 * NE * NE:].reshape(SB, SB)
 
-    def mh_update(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
-                  noise, drop_u, u, key):
+    def prepare(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
+                noise, drop_u):
         # --- block extent (reference MCMC.py:1761-1764; x -> rows) ----------
         bxmin = jnp.maximum(0, (2 * cx - bsx) // 2)
         bxmax = jnp.minimum(H, (2 * cx + bsx) // 2)
@@ -422,13 +431,27 @@ def make_sgs_kernel(static: SGSStatic):
             dj = jnp.mod(ja[:, None] - ja[None, :], NE)
             S_cc = consts.cov_stamp[di, dj]
         eps = 1e-3 * jnp.maximum(consts.sill, 1.0)
+        pre = (sx, sy, in_block, sim_mask, data_w, ring_dist, z_w, z_u,
+               top_idx, sel, bed_w, res_old_w, resampled_w, zbed_w,
+               surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f,
+               mcf_w, cx, cy, bsx, bsy)
+        return pre, (S_cc, m_sel, rhs_p, eps)
+
+    def solve_one(S_cc, m_sel, rhs_p, eps):
+        """Per-chain packed conditioning solve (XLA path)."""
         if "nocg" in _cut:  # surgery: identity solve
-            w_p = rhs_p
-        elif "cholsolve" in _cut:  # surgery: direct Cholesky (slower on the
+            return rhs_p
+        if "cholsolve" in _cut:  # surgery: direct Cholesky (slower on the
             # measured backend: batched 48x48 cholesky+trsm ~ +1.1 ms)
-            w_p = masked_spd_solve(S_cc, m_sel, rhs_p, eps)
-        else:
-            w_p = masked_cg_solve(S_cc, m_sel, rhs_p, eps, static.cg_iters)
+            return masked_spd_solve(S_cc, m_sel, rhs_p, eps)
+        return masked_cg_solve(S_cc, m_sel, rhs_p, eps, static.cg_iters)
+
+    def finalize(consts: SGSConsts, state: SGSState, pre, w_p, noise, u,
+                 key):
+        (sx, sy, in_block, sim_mask, data_w, ring_dist, z_w, z_u,
+         top_idx, sel, bed_w, res_old_w, resampled_w, zbed_w,
+         surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f,
+         mcf_w, cx, cy, bsx, bsy) = pre
         # scatter packed weights back to the window; Sigma_{:,C} w is a
         # covariance-stamp convolution (stationarity) -> FFT with the exact
         # spectrum (no wraparound: NE >= 2*SB covers all window offsets)
@@ -446,6 +469,17 @@ def make_sgs_kernel(static: SGSStatic):
         if static.has_nugget:
             z_draw = z_draw + jnp.sqrt(consts.nugget) * drop_u_nugget(noise)
         z_new_w = jnp.where(sim_mask, z_draw, z_w)
+        # z-plane CACHE value: must equal transform(bed-plane).  For
+        # in-range z that is z itself (up to LUT tolerance), but an
+        # out-of-range draw saturates the inverse at the data extremes, and
+        # the reference's per-iteration re-transform (MCMC.py:1766) would
+        # then yield the transform's tail clip — so clamp to the forward
+        # table's range instead of caching the raw draw
+        if static.use_transform:
+            z_cache_w = jnp.clip(z_new_w, consts.nst.fwd_table[0, 0],
+                                 consts.nst.fwd_table[-1, 1])
+        else:
+            z_cache_w = z_new_w
 
         # --- back to data space (ONE inverse LUT call; data cells re-snap
         # to inverse(transform(cond)) exactly like the reference) -----------
@@ -496,10 +530,11 @@ def make_sgs_kernel(static: SGSStatic):
             jnp.where(write, res_patched_w, res_old_w),
             jnp.where(write, resampled_w + in_block.astype(jnp.float32),
                       resampled_w),
-            # z-plane cache stays in sync with the bed plane (z_new_w
+            # z-plane cache stays in sync with the bed plane (z_cache_w
             # contains zcond at in-block data cells, matching the bed
-            # plane's inverse re-snap)
-            jnp.where(write, z_new_w, zbed_w),
+            # plane's inverse re-snap, and is tail-clamped to the forward
+            # transform's range)
+            jnp.where(write, z_cache_w, zbed_w),
         ])
         if "noscatter" in _cut:  # surgery: drop the state write-back
             fields_out = state.fields + jnp.float32(1e-20) * new_w.mean()
@@ -530,26 +565,100 @@ def make_sgs_kernel(static: SGSStatic):
         }
         return new_state, trace
 
+    return prepare, solve_one, finalize
+
+
+def make_sgs_kernel(static: SGSStatic):
+    """MH update core with injectable randomness:
+    (consts, state, cx, cy, bsx, bsy, noise (NE*NE [+SB*SB if nugget],),
+    drop_u (SB,SB), u, key).  Composition of the two stages around the
+    per-chain XLA solve (make_sgs_stages)."""
+    prepare, solve_one, finalize = make_sgs_stages(static)
+
+    def mh_update(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
+                  noise, drop_u, u, key):
+        pre, (S_cc, m_sel, rhs_p, eps) = prepare(
+            consts, state, cx, cy, bsx, bsy, noise, drop_u)
+        w_p = solve_one(S_cc, m_sel, rhs_p, eps)
+        return finalize(consts, state, pre, w_p, noise, u, key)
+
     return mh_update
+
+
+def _sample_proposal(static: SGSStatic, consts: SGSConsts, key):
+    """Draw one iteration's randomness (shared by both step builders)."""
+    NE2 = 2 * static.NE * static.NE  # real+imag frequency-domain noise
+    n_noise = NE2 + static.SB * static.SB if static.has_nugget else NE2
+    key, k_c, k_bx, k_by, k_noise, k_drop, k_u = jax.random.split(key, 7)
+    cidx = jax.random.randint(k_c, (), 0, static.n_region)
+    cx = consts.region_cells[cidx, 0]
+    cy = consts.region_cells[cidx, 1]
+    bsx = jax.random.randint(k_bx, (), consts.block_min_x, consts.block_max_x)
+    bsy = jax.random.randint(k_by, (), consts.block_min_y, consts.block_max_y)
+    noise = jax.random.normal(k_noise, (n_noise,))
+    drop_u = (jax.random.uniform(k_drop, (static.SB, static.SB))
+              if static.dropout else jnp.ones((static.SB, static.SB)))
+    u = jax.random.uniform(k_u, ())
+    return key, cx, cy, bsx, bsy, noise, drop_u, u
 
 
 def make_sgs_step(static: SGSStatic):
     mh_update = make_sgs_kernel(static)
-    NE2 = 2 * static.NE * static.NE  # real+imag frequency-domain noise
-    n_noise = NE2 + static.SB * static.SB if static.has_nugget else NE2
 
     def step(consts: SGSConsts, state: SGSState):
-        key, k_c, k_bx, k_by, k_noise, k_drop, k_u = jax.random.split(state.key, 7)
-        cidx = jax.random.randint(k_c, (), 0, static.n_region)
-        cx = consts.region_cells[cidx, 0]
-        cy = consts.region_cells[cidx, 1]
-        bsx = jax.random.randint(k_bx, (), consts.block_min_x, consts.block_max_x)
-        bsy = jax.random.randint(k_by, (), consts.block_min_y, consts.block_max_y)
-        noise = jax.random.normal(k_noise, (n_noise,))
-        drop_u = (jax.random.uniform(k_drop, (static.SB, static.SB))
-                  if static.dropout else jnp.ones((static.SB, static.SB)))
-        u = jax.random.uniform(k_u, ())
+        key, cx, cy, bsx, bsy, noise, drop_u, u = _sample_proposal(
+            static, consts, state.key)
         return mh_update(consts, state, cx, cy, bsx, bsy, noise, drop_u, u, key)
+
+    return step
+
+
+def fused_cg_available() -> bool:
+    """The Pallas CG kernel compiles on TPU backends (incl. the tunneled
+    axon one); elsewhere the vmapped XLA CG is used."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def make_sgs_step_batched(static: SGSStatic):
+    """Batched (chains-leading) SGS step: vmapped stage A, the packed
+    conditioning solve over the whole chain batch, vmapped stage B.
+    Semantically identical to ``vmap(make_sgs_step(static))`` — same
+    solve, same tolerance class (tests/test_chain_sgs.py::TestBatchedStep).
+
+    The batch solve defaults to the vmapped XLA CG.  The Pallas CG of
+    ops/cg_kernel is OPT-IN via ``MCMC_TPU_SGS_SURGERY=fusedcg``: its
+    winning shape (one program, matrices VMEM-resident across all
+    iterations) SIGABRTs the current Mosaic compiler on rank-3 batches,
+    and the per-chain-grid shape that does compile measures 13.6 vs
+    7.5 ms/step-batch at 256 chains (2026-08-17) — sequential grid
+    programs pay the 64-iteration loop latency per chain.  Re-evaluate on
+    newer toolchains."""
+    import os as _os
+
+    _cut = set(filter(None, _os.environ.get(
+        "MCMC_TPU_SGS_SURGERY", "").split(",")))
+    prepare, solve_one, finalize = make_sgs_stages(static)
+    use_fused = ("fusedcg" in _cut and fused_cg_available()
+                 and not ({"nocg", "cholsolve"} & _cut))
+
+    def step(consts: SGSConsts, states: SGSState):
+        key, cx, cy, bsx, bsy, noise, drop_u, u = jax.vmap(
+            lambda k: _sample_proposal(static, consts, k))(states.key)
+        pre, (S_cc, m_sel, rhs_p, eps) = jax.vmap(
+            prepare, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+                consts, states, cx, cy, bsx, bsy, noise, drop_u)
+        if use_fused:
+            from ..ops.cg_kernel import batched_masked_cg
+
+            w_p = batched_masked_cg(S_cc, m_sel, rhs_p, eps,
+                                    static.cg_iters)
+        else:
+            w_p = jax.vmap(solve_one)(S_cc, m_sel, rhs_p, eps)
+        return jax.vmap(finalize, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+            consts, states, pre, w_p, noise, u, key)
 
     return step
 

@@ -3,12 +3,20 @@
 Motivation: the SGS chain's packed conditioning solve is a fixed-iteration
 CG on per-chain (K, K) SPD systems (ops/kriging.masked_cg_solve under
 vmap).  In XLA each of the ~64 iterations is a separate chain of small
-batched ops — the (C, K, K) matrix is re-read from HBM every iteration and
-each tiny op pays fixed launch overhead, making the solve LATENCY-bound
-(measured ~47% of the whole SGS step-batch at K=48, C=256 on the axon
-v5e-1, 2026-08-16).  Here the ENTIRE iteration loop runs inside one Pallas
-program with the matrices VMEM-resident: ~64 x a few VPU passes over data
-that never leaves VMEM.
+batched ops; running the whole loop inside one Pallas program with the
+matrices VMEM-resident should remove that per-iteration overhead.
+
+STATUS (2026-08-17, axon v5e-1): correct but NOT the production default —
+opt-in via ``MCMC_TPU_SGS_SURGERY=fusedcg`` (models/chain_sgs.
+make_sgs_step_batched).  The winning single-program whole-batch shape
+cannot compile: Mosaic SIGABRTs on rank-3 elementwise/reduce patterns
+with a leading batch dim > 1 (probed: C=1 compiles, C=8 crashes; both the
+identity-diagonal reduce and a swapaxes relayout variant crash).  The
+grid-per-chain shape below DOES compile and is exact, but 256 sequential
+programs each paying the 64-iteration loop latency measure 13.6 vs the
+XLA CG's 7.5 ms/step-batch inside the SGS scan.  Re-evaluate the
+whole-batch form on newer toolchains; the XLA CG meanwhile costs only
+~0.9 ms of the step (the pre-mixture ~47% figure is obsolete).
 
 The matrices are SYMMETRIC (masked covariance + diagonal), which lets the
 matvec run as a sublane reduction without any per-iteration relayout:
@@ -17,9 +25,7 @@ with vectors stored as (C, K, 1) columns,
     (A v)[c, i] = sum_j A[c, j, i] * v[c, j]          (A = A^T)
 
 is an elementwise broadcast multiply (C, K, 1) * (C, K, K) followed by a
-reduce over axis=1 — the result lands as a (C, 1, K) row, turned back into
-a column by a second broadcast-reduce against the identity (a diagonal
-"transpose" that needs no relayout or matmul).
+reduce over axis=1 — the (C, 1, K) row result is swapped back to a column.
 """
 
 from __future__ import annotations
@@ -33,14 +39,10 @@ import jax.numpy as jnp
 def _cg_kernel(n_iters: int, a_ref, b_ref, out_ref):
     A = a_ref[...]                   # (C, K, K) symmetric SPD
     b = b_ref[...]                   # (C, K, 1) column vectors
-    K = A.shape[-1]
-    # one-hot identity for the row->column diagonal reduce
-    eye = jnp.eye(K, dtype=jnp.float32)
 
     def matvec(v):                   # v: (C, K, 1) -> (C, K, 1)
         row = jnp.sum(A * v, axis=1, keepdims=True)      # (C, 1, K)
-        # row -> column: place the row on the diagonal, reduce over lanes
-        return jnp.sum(eye * row, axis=2, keepdims=True)  # (C, K, 1)
+        return jnp.swapaxes(row, 1, 2)                   # (C, K, 1)
 
     x = jnp.zeros_like(b)
     r = b
@@ -77,13 +79,26 @@ def batched_masked_cg(Sigma, mask, rhs, eps, n_iters: int = 64,
 
     C, K = mask.shape
     m = mask
+    eps = jnp.asarray(eps)
+    if eps.ndim:                      # per-chain (C,) -> broadcast over K
+        eps = eps[..., None]
     Sm = (Sigma * m[:, :, None] * m[:, None, :]
           + jnp.eye(K, dtype=Sigma.dtype)
           * (eps + (1.0 - m))[:, None, :])
     b = (m * rhs)[..., None]                              # (C, K, 1)
 
+    # one grid program per chain, (1, K, K) blocks: Mosaic SIGABRTs on
+    # rank-3 elementwise/reduce patterns with a leading batch > 1 (probed
+    # 2026-08-17: C=1 compiles, C=8 crashes the compiler), so the batch
+    # runs as a pipelined grid instead of one big program
     out = pl.pallas_call(
         functools.partial(_cg_kernel, n_iters),
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, K, K), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, K, 1), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K, 1), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((C, K, 1), jnp.float32),
         interpret=interpret,
     )(Sm.astype(jnp.float32), b.astype(jnp.float32))

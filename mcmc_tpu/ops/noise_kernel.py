@@ -104,9 +104,14 @@ def batched_normal(keys, rows: int, cols: int, interpret: bool = False):
     N = data.shape[0]
     if rows % 2:
         raise ValueError("rows must be even (sin/cos Box-Muller pairs)")
-    TN = N
+    # tile the chain axis so one tile's VMEM footprint stays small: the
+    # (TN, rows, cols) f32 output block + two (TN, rows/2, cols) int32 bit
+    # arrays + Box-Muller intermediates — budget ~4x the output block
+    # against a 4 MB target (v5e VMEM is ~16 MB/core)
+    tile_bytes = rows * cols * 4 * 4
+    TN = 1
     for cand in (64, 32, 16, 8, 4, 2, 1):
-        if N % cand == 0 and cand <= N:
+        if N % cand == 0 and cand <= N and cand * tile_bytes <= 4 * 2 ** 20:
             TN = cand
             break
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -89,23 +89,25 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             "W%128==0 or full-width window). Use impl='auto' or 'xla'.")
     SX, SY = fused_window_sizes(H, W, B)
     NP = 8 if use_data_loss else 6
-    if consts_resident is None:
-        # v5e VMEM is ~16 MB/core; keep the resident consts + the (small)
-        # scratch comfortably under it, else fall back to per-chain DMAs
-        consts_resident = NP * H * W * 4 <= VMEM_RESIDENT_LIMIT
+    # consts_resident auto-decision is made per call in fn() (it needs the
+    # edge-mask count); a forced True/False here is honored as-is
 
-    def finish_proposal(raw, bh, bw, scale, edge_bb):
+    def standardize_block(raw, bh, bw, scale):
         """Standardize the raw spectral field over the (bh, bw) block to
         exact zero mean / unit variance (population std + 1e-12, reference
-        MCMC.py:248), scale, and apply the logistic edge mask."""
+        MCMC.py:248) and scale.  Kept separate from the edge-mask multiply
+        so the HBM kernel can run this math WHILE the edge-mask DMA is in
+        flight (compute/DMA overlap)."""
         bi = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
         bj = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
         bmask = ((bi < bh) & (bj < bw)).astype(jnp.float32)
         nblk = jnp.maximum(jnp.sum(bmask), 1.0)
         mean = jnp.sum(raw * bmask) / nblk
         var = jnp.sum(jnp.square(raw - mean) * bmask) / nblk
-        f = (raw - mean) / (jnp.sqrt(var) + 1e-12) * bmask * scale
-        return f * edge_bb
+        return (raw - mean) / (jnp.sqrt(var) + 1e-12) * bmask * scale
+
+    def finish_proposal(raw, bh, bw, scale, edge_bb):
+        return standardize_block(raw, bh, bw, scale) * edge_bb
 
     def window_residual(surf_w, bed_new_w, velx_w, vely_w, forcing_w,
                         resolution):
@@ -209,9 +211,11 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             edma.wait()
             f = fraw_ref[0]
         else:
+            # standardize while the edge-mask DMA is in flight; wait only
+            # for the final multiply
+            f = standardize_block(fraw_ref[0], bh, bw, scale)
             edma.wait()
-            f = finish_proposal(fraw_ref[0], bh, bw, scale,
-                                edge_vmem[slot][:, :B])
+            f = f * edge_vmem[slot][:, :B]
 
         canvas = place_canvas(f, shift_x, shift_y)
 
@@ -363,7 +367,19 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         if edge_masks.shape[-1] != EBL:
             edge_masks = jnp.pad(edge_masks,
                                  ((0, 0), (0, 0), (0, EBL - B)))
-        if consts_resident:
+        if consts_resident is None:
+            # v5e VMEM is ~16 MB/core; budget EVERYTHING the resident
+            # variant keeps there at once — consts planes, the full
+            # edge-mask stack, the fraw block, and the state/new scratch —
+            # against roughly half of it, else per-chain DMAs
+            resident_bytes = 4 * (NP * H * W              # consts planes
+                                  + n_sizes * B * EBL     # edge masks
+                                  + B * B                 # fraw block
+                                  + (2 * 3 + 3) * SX * SY)  # state scratch
+            resident = resident_bytes <= VMEM_RESIDENT_LIMIT
+        else:
+            resident = consts_resident
+        if resident:
             in_specs = [
                 # consts + edge masks whole in VMEM, constant index map ->
                 # copied once, reused for every chain of the grid

@@ -48,10 +48,12 @@ def run_chains(static, consts, states, n_steps: int, save_beds: bool = False,
     Returns (final_states, traces) with traces time-major:
     each trace leaf has shape (n_steps, n_chains, ...).
     """
-    from ..models.chain_sgs import SGSStatic, make_sgs_step
+    from ..models.chain_sgs import SGSStatic, make_sgs_step_batched
 
     if isinstance(static, SGSStatic):
-        batched = jax.vmap(make_sgs_step(static), in_axes=(None, 0))
+        # batched step: one fused Pallas CG over the whole chain batch on
+        # TPU (vmapped XLA CG elsewhere) — semantics == vmap(make_sgs_step)
+        batched = make_sgs_step_batched(static)
     elif impl == "fused":
         from ..models.chain_crf import make_batched_step_fused
 
@@ -138,10 +140,7 @@ class MultiChainSampler:
             initial_beds = self._preprocess_sgs_beds(initial_beds)
         initial_beds = np.asarray(initial_beds, np.float32)
         shared_2d = initial_beds.ndim == 2
-        if shared_2d:
-            initial_beds = np.broadcast_to(
-                initial_beds, (self.n_chains, *initial_beds.shape))
-        if initial_beds.shape[0] != self.n_chains:
+        if not shared_2d and initial_beds.shape[0] != self.n_chains:
             raise ValueError("initial_beds leading dim must equal n_chains")
 
         if seeds is None or isinstance(seeds, (int, np.integer)):
@@ -150,40 +149,52 @@ class MultiChainSampler:
             if len(seeds) < self.n_chains:
                 raise ValueError("need at least n_chains seeds")
             keys = jnp.stack([as_key(int(s)) for s in seeds[: self.n_chains]])
-
-        beds = jnp.asarray(initial_beds)
         if self.mesh is not None:
-            beds = shard_chains(beds, self.mesh)
             keys = shard_chains(keys, self.mesh)
-        if self.is_sgs:
-            from ..models.chain_sgs import sgs_init_state
 
-            ut = bool(self.static.use_transform)
-            if ut:
-                # z-plane precomputed host-side (exact transform); the
-                # device LUT gather on a full farm grid is memory-hostile.
-                # When every chain shares one bed, transform the 2D plane
-                # once and broadcast (not n_chains interp passes).
-                if z0_shared is None and shared_2d:
-                    z0_shared = self.chain.host_transform(initial_beds[0])
-                if z0_shared is not None:
-                    z0 = jnp.asarray(np.broadcast_to(
-                        np.asarray(z0_shared, np.float32),
-                        initial_beds.shape))
-                else:
-                    z0 = jnp.asarray(self.chain.host_transform(initial_beds))
-                if self.mesh is not None:
-                    z0 = shard_chains(z0, self.mesh)
+        from ..models.chain_sgs import sgs_init_state
+
+        ut = self.is_sgs and bool(self.static.use_transform)
+        if shared_2d:
+            # every chain shares one bed: ship the 2D planes ONCE and let
+            # vmap broadcast on device (a host np.broadcast_to + transfer
+            # materializes n_chains identical copies — 268 MB at 256
+            # chains on a 512 grid over a tunneled link)
+            bed2d = jnp.asarray(initial_beds)
+            if self.is_sgs:
+                if ut and z0_shared is None:
+                    z0_shared = self.chain.host_transform(initial_beds)
+                z2d = (jnp.asarray(np.asarray(z0_shared, np.float32))
+                       if ut else None)
                 states = jax.jit(jax.vmap(
-                    lambda b, k, z: sgs_init_state(
-                        b, k, self.consts, z0=z, use_transform=True)))(
-                            beds, keys, z0)
+                    lambda k: sgs_init_state(
+                        bed2d, k, self.consts, z0=z2d,
+                        use_transform=ut)))(keys)
             else:
                 states = jax.jit(jax.vmap(
-                    lambda b, k: sgs_init_state(
-                        b, k, self.consts, use_transform=False)))(beds, keys)
+                    lambda k: init_state(bed2d, k, self.consts)))(keys)
         else:
-            states = init_states(beds, keys, self.consts)
+            beds = jnp.asarray(initial_beds)
+            if self.mesh is not None:
+                beds = shard_chains(beds, self.mesh)
+            if self.is_sgs:
+                if ut:
+                    # z-plane precomputed host-side (exact transform); the
+                    # device LUT gather on a full farm grid is memory-hostile
+                    z0 = jnp.asarray(self.chain.host_transform(initial_beds))
+                    if self.mesh is not None:
+                        z0 = shard_chains(z0, self.mesh)
+                    states = jax.jit(jax.vmap(
+                        lambda b, k, z: sgs_init_state(
+                            b, k, self.consts, z0=z, use_transform=True)))(
+                                beds, keys, z0)
+                else:
+                    states = jax.jit(jax.vmap(
+                        lambda b, k: sgs_init_state(
+                            b, k, self.consts, use_transform=False)))(
+                                beds, keys)
+            else:
+                states = init_states(beds, keys, self.consts)
         if self.mesh is not None:
             states = shard_chains(states, self.mesh)
         return states

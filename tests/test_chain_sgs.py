@@ -240,6 +240,39 @@ class TestMixtureSCC:
         np.testing.assert_allclose(S_mix, S_ref, atol=2.5e-3)
 
 
+class TestBatchedStep:
+    def test_batched_equals_vmapped_per_chain(self):
+        """make_sgs_step_batched (stage-split around the batch solve) must
+        be bitwise-equal to vmap(make_sgs_step) on the XLA solver path."""
+        import jax
+        import jax.numpy as jnp
+
+        from mcmc_tpu.models.chain_sgs import (make_sgs_step,
+                                               make_sgs_step_batched,
+                                               sgs_init_state)
+
+        p = make_synthetic_problem(H=64, W=64)
+        c = build_sgs_chain(p)
+        static, consts = c.build()
+        keys = jax.random.split(jax.random.key(3), 4)
+        states = jax.vmap(lambda k: sgs_init_state(
+            c._initial_detrended, k, consts, z0=c._initial_z,
+            use_transform=static.use_transform))(keys)
+
+        ref_step = jax.jit(jax.vmap(make_sgs_step(static), in_axes=(None, 0)))
+        new_step = jax.jit(make_sgs_step_batched(static))
+        s_ref, s_new = states, states
+        for _ in range(5):
+            s_ref, tr_ref = ref_step(consts, s_ref)
+            s_new, tr_new = new_step(consts, s_new)
+        np.testing.assert_array_equal(np.asarray(s_ref.fields),
+                                      np.asarray(s_new.fields))
+        np.testing.assert_array_equal(np.asarray(s_ref.loss_mc),
+                                      np.asarray(s_new.loss_mc))
+        np.testing.assert_array_equal(np.asarray(tr_ref["step"]),
+                                      np.asarray(tr_new["step"]))
+
+
 class TestNuggetPath:
     def test_nugget_chain_runs_and_adds_noise(self):
         """has_nugget branch: the draw adds sqrt(nugget) white noise; the

@@ -97,8 +97,14 @@ print("DISTRIBUTED_OK")
         over a global sharded array."""
         import os
         import pathlib
+        import socket
 
         root = str(pathlib.Path(__file__).resolve().parents[1])
+        # ephemeral coordinator port: a hardcoded one collides under
+        # parallel test runs or with a stale listener
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
         worker = tmp_path / "worker.py"
         worker.write_text(r"""
 import sys
@@ -108,7 +114,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from mcmc_tpu.parallel.distributed import (initialize_distributed,
                                            global_chains_mesh)
-ok = initialize_distributed(coordinator_address="localhost:43937",
+ok = initialize_distributed(coordinator_address="localhost:%d",
                             num_processes=2, process_id=pid)
 assert ok and jax.process_count() == 2, (ok, jax.process_count())
 import numpy as np
@@ -129,7 +135,7 @@ total = jax.jit(lambda a: jnp.sum(a),
 assert float(np.asarray(total)) == 3.0, total
 jax.distributed.shutdown()
 print("TWO_PROC_OK", flush=True)
-""" % root)
+""" % (root, port))
         env = {k: v for k, v in os.environ.items()
                if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
         env["PYTHONPATH"] = root
