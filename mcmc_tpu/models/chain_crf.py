@@ -546,6 +546,53 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
     return step
 
 
+def _run_segmented(run_fn, state, n_iter: int, info_per_iter: int,
+                   progress_bar: bool, plot: bool):
+    """Run ``run_fn(state, n_rows) -> (state, time-major traces)`` either in
+    one scan (no observers) or in ``info_per_iter``-row segments with the
+    reference's progress line / live figure (MCMC.py:1368-1432).  Segment
+    row 0 duplicates the carried state and is dropped on continuation
+    segments, so the stitched traces equal the single-scan ones exactly."""
+    if not (progress_bar or plot) or info_per_iter >= n_iter:
+        return run_fn(state, n_iter)
+    import time as _time
+
+    live = None
+    if plot:
+        from ..utils.plotting import LiveChainPlot
+
+        live = LiveChainPlot()
+    seg = max(1, int(info_per_iter))
+    total_steps = int(n_iter) - 1
+    steps_left = total_steps
+    chunks = []
+    first = True
+    t0 = _time.time()
+    done_steps = 0
+    while steps_left > 0 or first:
+        s = min(seg, steps_left)
+        # run_fn(n_rows) performs n_rows - 1 steps; row 0 is the carried
+        # state, kept only for the first segment
+        state, tr = run_fn(state, s + 1)
+        keep = tr if first else jax.tree.map(lambda a: a[1:], tr)
+        chunks.append(keep)
+        steps_left -= s
+        done_steps += s
+        loss_now = float(np.asarray(state.loss_mc
+                                    + getattr(state, "loss_data", 0.0)))
+        acc = float(np.asarray(keep["step"]).mean())
+        if progress_bar:
+            rate = done_steps / max(_time.time() - t0, 1e-9)
+            print(f"iter {done_steps}/{total_steps} | loss {loss_now:.6e} | "
+                  f"acc {acc:.3f} | {rate:,.0f} it/s", flush=True)
+        if live is not None:
+            live(done_steps, state,
+                 jax.tree.map(lambda a: np.asarray(a)[:, None], keep))
+        first = False
+    traces = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
+    return state, traces
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def run_chain(static: CRFStatic, consts: CRFConsts, state: ChainState,
               n_iter: int, save_beds: bool = False):
@@ -794,16 +841,39 @@ class ChainCRF:
         )
         return static, consts
 
-    def run(self, n_iter, only_save_last_bed=True, save_beds=None, seed=None):
+    def run(self, n_iter, RF=None, only_save_last_bed=True, save_beds=None,
+            seed=None, info_per_iter=1000, plot=False, progress_bar=False):
         """Single-chain convenience run (the multi-chain farm lives in
         parallel/sampler.py). Returns a dict mirroring the reference's
-        return tuple names (MCMC.py:1147-1155)."""
+        return tuple names (MCMC.py:1147-1155).
+
+        Signature-parity with the reference ``chain_crf.run(n_iter, RF,
+        only_save_last_bed, info_per_iter, plot, progress_bar)``
+        (MCMC.py:1137): ``RF`` may be a ``models.RandField`` wrapper whose
+        configuration is adopted; ``progress_bar`` prints it/s + loss every
+        ``info_per_iter`` iterations; ``plot=True`` drives a live
+        loss/acceptance figure (utils.plotting.LiveChainPlot).  All three
+        knobs segment the scan — results are identical either way."""
+        if RF is not None:
+            from .randfield import RandField as _RFWrapper
+
+            if not isinstance(RF, _RFWrapper):
+                # reference error text, MCMC.py:1160
+                raise TypeError('The arugment "RF" has to be an object of '
+                                'the class RandField')
+            if RF._blocks is None:
+                raise ValueError("RF needs set_block_sizes before run")
+            self.configure_randfield(RF.config, RF._blocks,
+                                     RF._weights or self._weight_cfg)
         static, consts = self.build()
         key = as_key(seed) if seed is not None else (self._key or as_key(None))
         state = init_state(self.initial_bed, key, consts)
         if save_beds is None:
             save_beds = not only_save_last_bed
-        final, traces = run_chain(static, consts, state, int(n_iter), bool(save_beds))
+        final, traces = _run_segmented(
+            lambda st, n: run_chain(static, consts, st, n, bool(save_beds)),
+            state, int(n_iter), int(info_per_iter), bool(progress_bar),
+            bool(plot))
         out = {
             "bed": np.asarray(traces["bed"]) if save_beds else np.asarray(final.bed),
             "loss_mc": np.asarray(traces["loss_mc"]),

@@ -1010,7 +1010,14 @@ class ChainSGS:
         return np.asarray(nst.transform_np(np.asarray(bed_detrended)),
                           np.float32)
 
-    def run(self, n_iter, only_save_last_bed=True, save_beds=None, seed=None):
+    def run(self, n_iter, only_save_last_bed=True, save_beds=None, seed=None,
+            info_per_iter=100, plot=False, progress_bar=False):
+        """Signature-parity with the reference ``chain_sgs.run(n_iter,
+        only_save_last_bed, info_per_iter, plot, progress_bar)``
+        (MCMC.py:1599); the observer knobs segment the scan with the
+        reference's progress line / live figure — results identical."""
+        from .chain_crf import _run_segmented
+
         static, consts = self.build()
         key = as_key(seed) if seed is not None else (self._key or as_key(None))
         state = sgs_init_state(self._initial_detrended, key, consts,
@@ -1018,8 +1025,11 @@ class ChainSGS:
                                use_transform=static.use_transform)
         if save_beds is None:
             save_beds = not only_save_last_bed
-        final, traces = run_sgs_chain(static, consts, state, int(n_iter),
-                                      bool(save_beds))
+        final, traces = _run_segmented(
+            lambda st, n: run_sgs_chain(static, consts, st, n,
+                                        bool(save_beds)),
+            state, int(n_iter), int(info_per_iter), bool(progress_bar),
+            bool(plot))
         trend = np.asarray(consts.trend)
         out = {
             "bed": (np.asarray(traces["bed"]) if save_beds

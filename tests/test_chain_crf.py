@@ -159,3 +159,37 @@ class TestChainRun:
         w = np.asarray(consts.crf_weight)
         assert w[p["data_mask"]].max() < 1e-5  # zero weight at data cells
         assert w.max() > 0.5
+
+
+class TestReferenceRunSignature:
+    """Reference-parity run() extras (MCMC.py:1137): positional RF
+    wrapper, info_per_iter/progress_bar segmentation — results must be
+    BITWISE identical to the plain single-scan run."""
+
+    def test_progress_segmented_run_is_bitwise_identical(self, capsys):
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_small_chain(p)
+        out_plain = c.run(n_iter=37, seed=5)
+        out_seg = c.run(n_iter=37, seed=5, info_per_iter=10,
+                        progress_bar=True)
+        np.testing.assert_array_equal(out_plain["bed"], out_seg["bed"])
+        np.testing.assert_array_equal(out_plain["loss"], out_seg["loss"])
+        np.testing.assert_array_equal(out_plain["steps"], out_seg["steps"])
+        assert "it/s" in capsys.readouterr().out
+
+    def test_positional_randfield_wrapper(self):
+        from mcmc_tpu.models import RandField
+
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_small_chain(p)
+        rf = RandField(3e3, 8e3, 3e3, 8e3, 20, 60, 0.0, "Gaussian", True)
+        rf.set_generation_method(True)
+        rf.set_block_sizes(8, 12, 8, 12, steps=2)
+        rf.set_weight_param(2.0, 0.0, 6.0, 1.0, 5e3, p["resolution"])
+        out = c.run(30, rf, seed=2)
+        assert np.isfinite(out["loss"]).all()
+        # reference error text for a non-RandField positional arg
+        import pytest
+
+        with pytest.raises(TypeError, match="RandField"):
+            c.run(30, object())
