@@ -750,6 +750,28 @@ class ChainCRF:
         dl = wc.L / (1.0 + np.exp(-wc.k * (dr - wc.x0))) - wc.offset
         self.crf_data_weight = (dl - dl.min()).astype(np.float32)
 
+    def loss(self, massConvResidual, dataDiff=0):
+        """Loss of a candidate topography (reference MCMC.py:1021-1044 —
+        the tutorials call this directly for the BedMachine baseline line,
+        T3 cells 32-35).
+
+        Returns (total_loss, loss_mc, loss_data).  ``loss_data`` is 0
+        unless the functional data-misfit term is configured via
+        ``set_loss_type(diff_func='sumsquare', sigma_data=...)`` (the
+        reference hardwires 0)."""
+        if self.sigma_mc is None:
+            raise ValueError("call set_loss_type before loss()")
+        res = np.asarray(massConvResidual, np.float64)
+        loss_mc = float(np.nansum(np.square(res[self.mc_region_mask == 1]))
+                        / (2.0 * self.sigma_mc ** 2))
+        loss_data = 0.0
+        if getattr(self, "use_data_loss", False) and np.ndim(dataDiff):
+            dd = np.asarray(dataDiff, np.float64)
+            m = (np.asarray(self.data_mask) == 1) & (self.data_region_mask == 1)
+            loss_data = float(np.nansum(np.square(dd[m]))
+                              / (2.0 * self.sigma_data ** 2))
+        return loss_mc + loss_data, loss_mc, loss_data
+
     def set_random_generator(self, rng_seed=None):
         self._key = as_key(rng_seed)
 

@@ -808,6 +808,16 @@ class ChainSGS:
         self.block_min_x, self.block_max_x = int(block_min_x), int(block_max_x)
         self.block_min_y, self.block_max_y = int(block_min_y), int(block_max_y)
 
+    def loss(self, massConvResidual, dataDiff=0):
+        """Loss of a candidate topography (reference MCMC.py:1021-1044;
+        shared chain-base method).  Returns (total, loss_mc, loss_data=0)."""
+        if self.sigma_mc is None:
+            raise ValueError("call set_loss_type before loss()")
+        res = np.asarray(massConvResidual, np.float64)
+        loss_mc = float(np.nansum(np.square(res[self.mc_region_mask == 1]))
+                        / (2.0 * self.sigma_mc ** 2))
+        return loss_mc, loss_mc, 0.0
+
     def set_random_generator(self, rng_seed=None):
         self._key = as_key(rng_seed)
 

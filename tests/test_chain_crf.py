@@ -193,3 +193,28 @@ class TestReferenceRunSignature:
 
         with pytest.raises(TypeError, match="RandField"):
             c.run(30, object())
+
+
+class TestChainLossMethod:
+    """chain.loss(mc_res, dataDiff) — the tutorials' baseline-line call
+    (reference MCMC.py:1021-1044, T3 cells 32-35)."""
+
+    def test_matches_reference_formula(self):
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_small_chain(p, sigma=5.0)
+        rng = np.random.default_rng(0)
+        res = rng.normal(size=p["xx"].shape)
+        total, loss_mc, loss_data = c.loss(res, 0)
+        expect = np.nansum(res[p["region"] == 1] ** 2) / (2 * 5.0 ** 2)
+        assert total == pytest.approx(expect, rel=1e-12)
+        assert loss_data == 0.0
+        # matches what run() reports for the initial state
+        out = c.run(n_iter=2, seed=0)
+        static, consts = c.build()
+        from mcmc_tpu.data import get_mass_conservation_residual
+
+        res0 = get_mass_conservation_residual(
+            p["initial_bed"], p["surf"], p["velx"], p["vely"], p["dhdt"],
+            p["smb"], p["resolution"])
+        assert c.loss(res0, 0)[0] == pytest.approx(float(out["loss"][0]),
+                                                   rel=1e-5)
