@@ -255,13 +255,17 @@ def main():
     chain = make_chain(p)
     chain.set_crf_data_weight()
     cpu_farm, cpu_single = measure_cpu_baseline(p, chain)
-    tpu_rate, ess_rate = measure_tpu(chain, label="TPU CRF",
+    # segment=2000: per-segment trace transfers cost ~50 ms on the
+    # tunneled link; 500-iter segments underreport by ~10% (a 200k-iter
+    # soak at segment 2000 sustains 324k it/s, 2026-08-17)
+    tpu_rate, ess_rate = measure_tpu(chain, label="TPU CRF", segment=2000,
+                                     min_seconds=8.0, max_iters=12000,
                                      burn_iters=8000)
 
     sgs_chain = make_sgs_chain(p)
     sgs_cpu_farm, sgs_cpu_single = measure_cpu_sgs_baseline(p, sgs_chain)
     sgs_rate, sgs_ess_rate = measure_tpu(
-        sgs_chain, n_chains=N_CHAINS_SGS, segment=200, min_seconds=6.0,
+        sgs_chain, n_chains=N_CHAINS_SGS, segment=400, min_seconds=6.0,
         max_iters=2400, label="TPU SGS", burn_iters=2000)
 
     result = {
