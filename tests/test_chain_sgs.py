@@ -240,6 +240,27 @@ class TestMixtureSCC:
         np.testing.assert_allclose(S_mix, S_ref, atol=2.5e-3)
 
 
+class TestZPlaneCache:
+    def test_cache_equals_transform_of_bed_after_run(self):
+        """The state's z-plane must stay equal to transform(bed plane)
+        throughout a run (within LUT interpolation tolerance) — including
+        the tail clamp for out-of-range draws (review fix 2026-08-17)."""
+        p = make_synthetic_problem(H=64, W=64)
+        c = build_sgs_chain(p)
+        out = c.run(n_iter=150, seed=4)
+        st = out["final_state"]
+        bed_plane = np.asarray(st.z_bed)  # cached z
+        nst = c._host_nst
+        z_exact = np.asarray(nst.transform_np(np.asarray(st.bed)))
+        # LUT resolution tolerance; the forward clip bound caps both sides
+        np.testing.assert_allclose(bed_plane, z_exact, atol=5e-3)
+        # cache never exceeds the forward table's range
+        lo = float(np.asarray(c.build()[1].nst.fwd_table)[0, 0])
+        hi = float(np.asarray(c.build()[1].nst.fwd_table)[-1, 1])
+        assert bed_plane.min() >= lo - 1e-6
+        assert bed_plane.max() <= hi + 1e-6
+
+
 class TestBatchedStep:
     def test_batched_equals_vmapped_per_chain(self):
         """make_sgs_step_batched (stage-split around the batch solve) must
