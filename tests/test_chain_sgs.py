@@ -294,6 +294,47 @@ class TestBatchedStep:
                                       np.asarray(tr_new["step"]))
 
 
+class TestSegmentedRun:
+    def test_progress_segmented_run_is_bitwise_identical(self, capsys):
+        """info_per_iter/progress_bar segmentation must not change
+        results (shares _run_segmented with ChainCRF)."""
+        p = make_synthetic_problem(H=64, W=64)
+        c = build_sgs_chain(p)
+        out_plain = c.run(n_iter=41, seed=9)
+        out_seg = c.run(n_iter=41, seed=9, info_per_iter=12,
+                        progress_bar=True)
+        np.testing.assert_array_equal(out_plain["bed"], out_seg["bed"])
+        np.testing.assert_array_equal(out_plain["loss"], out_seg["loss"])
+        np.testing.assert_array_equal(out_plain["blocks"], out_seg["blocks"])
+        assert "it/s" in capsys.readouterr().out
+
+
+class TestDropoutBatched:
+    def test_batched_step_with_dropout_matches_vmapped(self):
+        """The dropout branch threads drop_u through both step builders
+        identically."""
+        import jax
+
+        from mcmc_tpu.models.chain_sgs import (make_sgs_step,
+                                               make_sgs_step_batched,
+                                               sgs_init_state)
+
+        p = make_synthetic_problem(H=64, W=64)
+        c = build_sgs_chain(p)
+        c.set_sgs_param(48, 30e3, sgs_rand_dropout_on=True, dropout_rate=0.3)
+        static, consts = c.build()
+        assert static.dropout
+        keys = jax.random.split(jax.random.key(11), 3)
+        states = jax.vmap(lambda k: sgs_init_state(
+            c._initial_detrended, k, consts, z0=c._initial_z,
+            use_transform=static.use_transform))(keys)
+        s_ref, _ = jax.jit(jax.vmap(make_sgs_step(static),
+                                    in_axes=(None, 0)))(consts, states)
+        s_new, _ = jax.jit(make_sgs_step_batched(static))(consts, states)
+        np.testing.assert_array_equal(np.asarray(s_ref.fields),
+                                      np.asarray(s_new.fields))
+
+
 class TestNuggetPath:
     def test_nugget_chain_runs_and_adds_noise(self):
         """has_nugget branch: the draw adds sqrt(nugget) white noise; the
