@@ -546,6 +546,16 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
     return step
 
 
+def chain_loss_mc(massConvResidual, mc_region_mask, sigma_mc) -> float:
+    """The reference chain-base mass-conservation loss (MCMC.py:1021-1044):
+    nansum of squared residuals over the mc region / (2 sigma^2).  Shared
+    by ChainCRF.loss and ChainSGS.loss (the reference defines it once on
+    the base class)."""
+    res = np.asarray(massConvResidual, np.float64)
+    return float(np.nansum(np.square(res[np.asarray(mc_region_mask) == 1]))
+                 / (2.0 * float(sigma_mc) ** 2))
+
+
 def _run_segmented(run_fn, state, n_iter: int, info_per_iter: int,
                    progress_bar: bool, plot: bool):
     """Run ``run_fn(state, n_rows) -> (state, time-major traces)`` either in
@@ -553,7 +563,7 @@ def _run_segmented(run_fn, state, n_iter: int, info_per_iter: int,
     reference's progress line / live figure (MCMC.py:1368-1432).  Segment
     row 0 duplicates the carried state and is dropped on continuation
     segments, so the stitched traces equal the single-scan ones exactly."""
-    if not (progress_bar or plot) or info_per_iter >= n_iter:
+    if not (progress_bar or plot):
         return run_fn(state, n_iter)
     import time as _time
 
@@ -562,13 +572,17 @@ def _run_segmented(run_fn, state, n_iter: int, info_per_iter: int,
         from ..utils.plotting import LiveChainPlot
 
         live = LiveChainPlot()
-    seg = max(1, int(info_per_iter))
     total_steps = int(n_iter) - 1
+    # observers always get at least one update, even for short runs
+    # (the reference prints/plots regardless of info_per_iter,
+    # MCMC.py:1379,1415)
+    seg = max(1, min(int(info_per_iter), max(total_steps, 1)))
     steps_left = total_steps
     chunks = []
     first = True
     t0 = _time.time()
     done_steps = 0
+    acc0 = int(np.asarray(state.accepted))
     while steps_left > 0 or first:
         s = min(seg, steps_left)
         # run_fn(n_rows) performs n_rows - 1 steps; row 0 is the carried
@@ -580,7 +594,10 @@ def _run_segmented(run_fn, state, n_iter: int, info_per_iter: int,
         done_steps += s
         loss_now = float(np.asarray(state.loss_mc
                                     + getattr(state, "loss_data", 0.0)))
-        acc = float(np.asarray(keep["step"]).mean())
+        # CUMULATIVE acceptance like the reference (sum(step)/(i+1),
+        # MCMC.py:1406), from the state's accepted counter
+        acc = ((int(np.asarray(state.accepted)) - acc0)
+               / max(done_steps, 1))
         if progress_bar:
             rate = done_steps / max(_time.time() - t0, 1e-9)
             print(f"iter {done_steps}/{total_steps} | loss {loss_now:.6e} | "
@@ -761,9 +778,8 @@ class ChainCRF:
         reference hardwires 0)."""
         if self.sigma_mc is None:
             raise ValueError("call set_loss_type before loss()")
-        res = np.asarray(massConvResidual, np.float64)
-        loss_mc = float(np.nansum(np.square(res[self.mc_region_mask == 1]))
-                        / (2.0 * self.sigma_mc ** 2))
+        loss_mc = chain_loss_mc(massConvResidual, self.mc_region_mask,
+                                self.sigma_mc)
         loss_data = 0.0
         if getattr(self, "use_data_loss", False) and np.ndim(dataDiff):
             dd = np.asarray(dataDiff, np.float64)
@@ -863,19 +879,24 @@ class ChainCRF:
         )
         return static, consts
 
-    def run(self, n_iter, RF=None, only_save_last_bed=True, save_beds=None,
-            seed=None, info_per_iter=1000, plot=False, progress_bar=False):
+    def run(self, n_iter, RF=None, only_save_last_bed=True,
+            info_per_iter=1000, plot=False, progress_bar=False, *,
+            save_beds=None, seed=None):
         """Single-chain convenience run (the multi-chain farm lives in
         parallel/sampler.py). Returns a dict mirroring the reference's
         return tuple names (MCMC.py:1147-1155).
 
         Signature-parity with the reference ``chain_crf.run(n_iter, RF,
         only_save_last_bed, info_per_iter, plot, progress_bar)``
-        (MCMC.py:1137): ``RF`` may be a ``models.RandField`` wrapper whose
-        configuration is adopted; ``progress_bar`` prints it/s + loss every
-        ``info_per_iter`` iterations; ``plot=True`` drives a live
-        loss/acceptance figure (utils.plotting.LiveChainPlot).  All three
-        knobs segment the scan — results are identical either way."""
+        (MCMC.py:1137) — POSITIONAL order matches exactly, with the extra
+        ``save_beds``/``seed`` keyword-only so reference-style positional
+        calls cannot misbind.  ``RF`` may be a ``models.RandField``
+        wrapper whose configuration is adopted; ``progress_bar`` prints
+        cumulative acceptance + it/s every ``info_per_iter`` iterations;
+        ``plot=True`` drives a live loss/acceptance figure
+        (utils.plotting.LiveChainPlot).  Observer knobs segment the scan —
+        results are bitwise identical either way (a non-dividing
+        info_per_iter adds one extra XLA compile for the tail segment)."""
         if RF is not None:
             from .randfield import RandField as _RFWrapper
 
@@ -885,6 +906,9 @@ class ChainCRF:
                                 'the class RandField')
             if RF._blocks is None:
                 raise ValueError("RF needs set_block_sizes before run")
+            if RF._weights is None and self._weight_cfg is None:
+                raise ValueError("RF needs set_weight_param before run "
+                                 "(no weight config on the chain either)")
             self.configure_randfield(RF.config, RF._blocks,
                                      RF._weights or self._weight_cfg)
         static, consts = self.build()

@@ -809,13 +809,15 @@ class ChainSGS:
         self.block_min_y, self.block_max_y = int(block_min_y), int(block_max_y)
 
     def loss(self, massConvResidual, dataDiff=0):
-        """Loss of a candidate topography (reference MCMC.py:1021-1044;
-        shared chain-base method).  Returns (total, loss_mc, loss_data=0)."""
+        """Loss of a candidate topography (reference MCMC.py:1021-1044,
+        via the shared ``chain_crf.chain_loss_mc`` formula).  Returns
+        (total, loss_mc, loss_data=0)."""
+        from .chain_crf import chain_loss_mc
+
         if self.sigma_mc is None:
             raise ValueError("call set_loss_type before loss()")
-        res = np.asarray(massConvResidual, np.float64)
-        loss_mc = float(np.nansum(np.square(res[self.mc_region_mask == 1]))
-                        / (2.0 * self.sigma_mc ** 2))
+        loss_mc = chain_loss_mc(massConvResidual, self.mc_region_mask,
+                                self.sigma_mc)
         return loss_mc, loss_mc, 0.0
 
     def set_random_generator(self, rng_seed=None):
@@ -1020,12 +1022,15 @@ class ChainSGS:
         return np.asarray(nst.transform_np(np.asarray(bed_detrended)),
                           np.float32)
 
-    def run(self, n_iter, only_save_last_bed=True, save_beds=None, seed=None,
-            info_per_iter=100, plot=False, progress_bar=False):
+    def run(self, n_iter, only_save_last_bed=True, info_per_iter=100,
+            plot=False, progress_bar=False, *, save_beds=None, seed=None):
         """Signature-parity with the reference ``chain_sgs.run(n_iter,
         only_save_last_bed, info_per_iter, plot, progress_bar)``
-        (MCMC.py:1599); the observer knobs segment the scan with the
-        reference's progress line / live figure — results identical."""
+        (MCMC.py:1599) — positional order matches; the extra
+        ``save_beds``/``seed`` are keyword-only so reference-style
+        positional calls cannot misbind.  Observer knobs segment the scan
+        with the reference's progress line / live figure — results
+        bitwise identical."""
         from .chain_crf import _run_segmented
 
         static, consts = self.build()

@@ -194,6 +194,25 @@ class TestReferenceRunSignature:
         with pytest.raises(TypeError, match="RandField"):
             c.run(30, object())
 
+    def test_reference_positional_binding(self, capsys):
+        """The reference calls run(n_iter, RF, only_save_last_bed,
+        info_per_iter, plot, progress_bar) POSITIONALLY — all six must
+        bind to the right parameters (save_beds/seed are keyword-only)."""
+        from mcmc_tpu.models import RandField
+
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_small_chain(p)
+        rf = RandField(3e3, 8e3, 3e3, 8e3, 20, 60, 0.0, "Gaussian", True)
+        rf.set_block_sizes(8, 12, 8, 12, steps=2)
+        rf.set_weight_param(2.0, 0.0, 6.0, 1.0, 5e3, p["resolution"])
+        out = c.run(25, rf, True, 10, False, True, seed=4)
+        assert out["bed"].ndim == 2  # only_save_last_bed=True bound right
+        assert "it/s" in capsys.readouterr().out  # progress_bar=True bound
+        import pytest
+
+        with pytest.raises(TypeError):
+            c.run(25, rf, True, 10, False, True, 4)  # seed is keyword-only
+
 
 class TestChainLossMethod:
     """chain.loss(mc_res, dataDiff) — the tutorials' baseline-line call
