@@ -144,10 +144,11 @@ def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
     # transient-indifferent
     if burn_iters:
         t0 = time.time()
-        for _ in range(max(1, burn_iters // segment)):
+        n_seg = -(-burn_iters // segment)  # ceil: never under-burn
+        for _ in range(n_seg):
             states, _ = sampler.run_segment(states, segment)
         _ = float(np.asarray(states.loss_mc)[0])
-        log(f"[bench] {label} burn-in: {burn_iters} iters in "
+        log(f"[bench] {label} burn-in: {n_seg * segment} iters in "
             f"{time.time() - t0:.1f}s")
     # timed adaptive loop
     done = 0

@@ -890,7 +890,14 @@ class ChainCRF:
         only_save_last_bed, info_per_iter, plot, progress_bar)``
         (MCMC.py:1137) — POSITIONAL order matches exactly, with the extra
         ``save_beds``/``seed`` keyword-only so reference-style positional
-        calls cannot misbind.  ``RF`` may be a ``models.RandField``
+        calls cannot misbind.  DEFAULTS intentionally diverge from the
+        reference (MCMC.py:1137: only_save_last_bed=False, plot=True,
+        progress_bar=True, info_per_iter=100): here the defaults are the
+        reference's *production-driver* settings
+        (largeScaleChain_multiprocessing.py:188-195) — callers porting
+        notebook-style scripts that rely on per-iteration bed history or
+        live output must pass only_save_last_bed=False / plot=True /
+        progress_bar=True explicitly (see MIGRATION.md).  ``RF`` may be a ``models.RandField``
         wrapper whose configuration is adopted; ``progress_bar`` prints
         cumulative acceptance + it/s every ``info_per_iter`` iterations;
         ``plot=True`` drives a live loss/acceptance figure

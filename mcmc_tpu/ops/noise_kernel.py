@@ -86,7 +86,13 @@ def batched_normal(keys, rows: int, cols: int, interpret: bool = False):
     state) but individual chains' streams are not functions of their own
     key alone, unlike ``vmap(jax.random.normal)``.  Fine for MCMC: the
     proposal noise need only be independent of the state and
-    well-distributed (tests/test_noise_kernel statistics)."""
+    well-distributed (tests/test_noise_kernel statistics).
+
+    Tail note: the Box-Muller uniforms use 24-bit mantissas with
+    ``u1 >= 2^-25``, so ``r = sqrt(-2 ln u1)`` is capped at ~5.89 —
+    the normal tail is truncated at |z| <= ~5.9 sigma (an exact N(0,1)
+    would exceed that about once per 5e8 draws).  Harmless for MCMC
+    proposal noise, but this is NOT a full-tail N(0,1) generator."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -53,6 +53,33 @@ class TestMultiChain:
         accs = traces["step"].mean(axis=1)
         assert (accs > 0.01).all()
 
+    def test_sgs_sharded_over_devices(self):
+        """SGS chains on a ``chains`` mesh axis: the whole-batch CG under a
+        sharded batch must place correctly AND match the unsharded batch
+        numerically (reference analog: the SSC production farm,
+        smallScaleChain_multiprocessing.py:403-585)."""
+        from tests.test_chain_sgs import build_sgs_chain
+
+        assert len(jax.devices()) == 8
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_sgs_chain(p)
+        sampler = MultiChainSampler(chain, n_chains=8)
+        assert sampler.mesh is not None
+        states = sampler.init(seeds=7)
+        assert len(states.fields.sharding.device_set) == 8
+        states, traces = sampler.run(states, n_iter=20, segment_size=20,
+                                     progress=False)
+        assert traces["loss"].shape == (8, 20)
+        assert np.isfinite(traces["loss"]).all()
+        accs = traces["step"].mean(axis=1)
+        assert (accs > 0.01).all()
+        # sharded == unsharded numerics (same seeds, no mesh)
+        s2 = MultiChainSampler(chain, n_chains=8, use_mesh=False)
+        st2 = s2.init(seeds=7)
+        _, tr2 = s2.run(st2, n_iter=20, segment_size=20, progress=False)
+        np.testing.assert_allclose(traces["loss"], tr2["loss"],
+                                   rtol=1e-6, atol=1e-4)
+
     def test_segmentation_invariant(self):
         """Same results regardless of segment partitioning."""
         p = make_synthetic_problem(H=64, W=64)
