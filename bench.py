@@ -24,7 +24,10 @@ import time
 import numpy as np
 
 GRID = 512
-N_CHAINS = 256
+# 384 chains: measured CRF throughput+ESS optimum on v5e-1 (347-354k it/s
+# and +57% ESS/s vs 256; 448+ hits the remote compiler's ceiling for the
+# fused kernel — scaling table in NOTES_ROUND3.md)
+N_CHAINS = 384
 SIGMA_MC = 5.0
 RES = 500.0
 
@@ -175,7 +178,7 @@ def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
         f"loss finite: {np.isfinite(loss).all()}")
     if not np.isfinite(loss).all():
         raise RuntimeError("non-finite loss in benchmark run")
-    return rate, ess_rate
+    return rate, ess_rate, float(np.mean(accs))
 
 
 def make_sgs_chain(p):
@@ -248,7 +251,11 @@ def _cores():
         return 1
 
 
-N_CHAINS_SGS = 256
+# 512 chains: the measured SGS ESS/sec optimum on v5e-1 (aggregate it/s is
+# flat in chain count — the batched pipeline is throughput-bound — but
+# independent-chain count buys ESS until it plateaus at 512; scaling table
+# in NOTES_ROUND3.md)
+N_CHAINS_SGS = 512
 
 
 def main():
@@ -259,13 +266,13 @@ def main():
     # segment=2000: per-segment trace transfers cost ~50 ms on the
     # tunneled link; 500-iter segments underreport by ~10% (a 200k-iter
     # soak at segment 2000 sustains 324k it/s, 2026-08-17)
-    tpu_rate, ess_rate = measure_tpu(chain, label="TPU CRF", segment=2000,
-                                     min_seconds=8.0, max_iters=12000,
-                                     burn_iters=8000)
+    tpu_rate, ess_rate, _ = measure_tpu(chain, label="TPU CRF", segment=2000,
+                                        min_seconds=8.0, max_iters=12000,
+                                        burn_iters=8000)
 
     sgs_chain = make_sgs_chain(p)
     sgs_cpu_farm, sgs_cpu_single = measure_cpu_sgs_baseline(p, sgs_chain)
-    sgs_rate, sgs_ess_rate = measure_tpu(
+    sgs_rate, sgs_ess_rate, _ = measure_tpu(
         sgs_chain, n_chains=N_CHAINS_SGS, segment=400, min_seconds=6.0,
         max_iters=2400, label="TPU SGS", burn_iters=2000)
 

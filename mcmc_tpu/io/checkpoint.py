@@ -11,6 +11,19 @@ chains continue the exact random stream, matching the reference's
 
 Write protocol mirrors the reference: new files are written (atomically via
 tmp + rename) before superseded ones are deleted (:233-236).
+
+Multi-host (pod) layout — SURVEY.md §5.4's "single sharded checkpoint
+(orbax-style)": when ``jax.process_count() > 1`` (or ``sharded=True`` is
+forced), ``save`` writes ONE FILE PER PROCESS,
+``checkpoint_{N}.proc{k}of{P}.npz``, each holding only that process's
+addressable shards of the global state (no host gather, no cross-DCN
+traffic), plus an empty ``checkpoint_{N}.ok`` completion marker written by
+process 0 after a global barrier — a sharded checkpoint is visible to
+``load``/``latest_iter`` only once the marker exists, so a crash mid-save
+can never yield a half-readable checkpoint.  ``load`` reassembles the full
+arrays from all shard files (shared filesystem assumed, as on TPU pods);
+replicated shards (e.g. over a ``grid`` mesh axis) are deduplicated by
+their global index.
 """
 
 from __future__ import annotations
@@ -31,6 +44,8 @@ from ..models.chain_crf import ChainState
 
 _CKPT_RE = re.compile(r"checkpoint_(\d+)\.npz$")
 _HIST_RE = re.compile(r"hist_(\d+)_(\d+)\.npz$")
+_SHARD_RE = re.compile(r"checkpoint_(\d+)\.proc(\d+)of(\d+)\.npz$")
+_MARKER_RE = re.compile(r"checkpoint_(\d+)\.ok$")
 
 
 def _state_classes():
@@ -62,12 +77,37 @@ def _arrays_to_state(d: dict, cls_name: str = "ChainState"):
     return cls(key=key, **kwargs)
 
 
+def _unique_addressable_shards(x):
+    """This process's addressable shards of a global array, deduplicated
+    (a shard replicated over another mesh axis appears once).  Yields
+    ``(bounds, data)`` with bounds an (ndim, 2) int64 array of [start, stop)
+    per dim."""
+    shape = x.shape
+    seen = set()
+    out = []
+    for sh in x.addressable_shards:
+        bounds = tuple(
+            (0 if s.start is None else int(s.start),
+             shape[d] if s.stop is None else int(s.stop))
+            for d, s in enumerate(sh.index))
+        if bounds in seen:
+            continue
+        seen.add(bounds)
+        out.append((np.asarray(bounds, np.int64).reshape(len(shape), 2),
+                    np.asarray(sh.data)))
+    return out
+
+
 class CheckpointManager:
     """Single-directory checkpoint store with resume.
 
     Histories (per-iteration traces accumulated across segments, the
     reference's results npz concatenation at :206-231) are stored alongside
     the state under ``hist_`` prefixes.
+
+    Single-process saves write one ``checkpoint_{N}.npz``; multi-process
+    saves (auto-detected, or forced with ``sharded=True``) write per-process
+    shard files + a completion marker (module docstring).
     """
 
     def __init__(self, directory, keep: int = 1):
@@ -78,21 +118,63 @@ class CheckpointManager:
     # -- discovery ----------------------------------------------------------
 
     def _checkpoints(self):
-        out = []
+        """Sorted [(iter, kind, paths)] of COMPLETE checkpoints: single
+        files, plus sharded sets whose ``.ok`` marker exists and whose
+        shard files are all present (a sharded set beats a same-iter
+        single file)."""
+        singles = {}
+        shards: dict = {}
+        markers = set()
         for p in self.dir.iterdir():
             m = _CKPT_RE.search(p.name)
             if m:
-                out.append((int(m.group(1)), p))
-        return sorted(out)
+                singles[int(m.group(1))] = p
+                continue
+            m = _SHARD_RE.search(p.name)
+            if m:
+                it, k, nproc = (int(g) for g in m.groups())
+                shards.setdefault(it, {}).setdefault(nproc, {})[k] = p
+                continue
+            m = _MARKER_RE.search(p.name)
+            if m:
+                markers.add(int(m.group(1)))
+        out = {it: ("single", [p]) for it, p in singles.items()}
+        for it in markers:
+            for nproc, files in shards.get(it, {}).items():
+                if len(files) == nproc:
+                    out[it] = ("sharded", [files[k] for k in sorted(files)])
+                    break
+        return sorted((it, kind, paths) for it, (kind, paths) in out.items())
 
     def latest_iter(self) -> Optional[int]:
         cps = self._checkpoints()
         return cps[-1][0] if cps else None
 
+    def _delete_iter_files(self, it: int):
+        """Remove every artifact of checkpoint ``it`` this process is
+        responsible for (marker first, so readers never see a complete-
+        looking set go partial)."""
+        marker = self.dir / f"checkpoint_{it}.ok"
+        if marker.exists():
+            marker.unlink()
+        for p in list(self.dir.iterdir()):
+            m = _CKPT_RE.search(p.name) or _SHARD_RE.search(p.name)
+            if m and int(m.group(1)) == it:
+                p.unlink(missing_ok=True)
+
     # -- save / load --------------------------------------------------------
 
     def save(self, cumulative_iter: int, states: ChainState,
-             histories: Optional[dict] = None, meta: Optional[dict] = None):
+             histories: Optional[dict] = None, meta: Optional[dict] = None,
+             *, sharded: Optional[bool] = None):
+        """Write a checkpoint.  ``sharded=None`` auto-selects: per-process
+        shard files when ``jax.process_count() > 1`` (no host gather),
+        single npz otherwise."""
+        if sharded is None:
+            sharded = jax.process_count() > 1
+        if sharded:
+            return self._save_sharded(cumulative_iter, states, histories,
+                                      meta)
         arrays = _state_to_arrays(states)
         payload = {f"state_{k}": v for k, v in arrays.items()}
         if histories:
@@ -114,9 +196,65 @@ class CheckpointManager:
             if os.path.exists(tmp):
                 os.unlink(tmp)
         # delete superseded checkpoints only after the new one is durable
-        for _, p in old[: max(0, len(old) - (self.keep - 1))]:
-            if p.exists() and p.name != f"checkpoint_{int(cumulative_iter)}.npz":
-                p.unlink()
+        for it, _kind, _paths in old[: max(0, len(old) - (self.keep - 1))]:
+            if it != int(cumulative_iter):
+                self._delete_iter_files(it)
+        return target
+
+    def _save_sharded(self, cumulative_iter: int, states,
+                      histories: Optional[dict], meta: Optional[dict]):
+        """Per-process shard save: each process writes only its addressable
+        shards (no gather), then process 0 publishes the completion marker
+        after a global barrier.  Requires a filesystem shared by all
+        processes (TPU pods); histories/meta ride in process 0's file."""
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        it = int(cumulative_iter)
+        pid, nproc = jax.process_index(), jax.process_count()
+        arrays = {f.name: getattr(states, f.name)
+                  for f in dataclasses.fields(type(states))
+                  if f.name != "key"}
+        arrays["key_data"] = jax.random.key_data(states.key)
+        payload = {}
+        for name, x in arrays.items():
+            x = x if isinstance(x, jax.Array) else jnp.asarray(x)
+            payload[f"shape__{name}"] = np.asarray(x.shape, np.int64)
+            for j, (bounds, data) in enumerate(_unique_addressable_shards(x)):
+                payload[f"shard__{name}__{j}"] = data
+                payload[f"idx__{name}__{j}"] = bounds
+        if pid == 0:
+            if histories:
+                for k, v in histories.items():
+                    payload[f"hist_{k}"] = np.asarray(v)
+            payload["meta_json"] = np.frombuffer(
+                json.dumps({"cumulative_iter": it,
+                            "state_class": type(states).__name__,
+                            **(meta or {})}).encode(), dtype=np.uint8)
+
+        old = self._checkpoints()
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez_compressed(fh, **payload)
+            target = self.dir / f"checkpoint_{it}.proc{pid}of{nproc}.npz"
+            os.replace(tmp, target)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        # all shard files durable before the marker makes the set visible
+        multihost_utils.sync_global_devices(f"mcmc_tpu_ckpt_{it}_written")
+        if pid == 0:
+            marker_tmp = self.dir / f".ok_{it}.tmp"
+            marker_tmp.touch()
+            os.replace(marker_tmp, self.dir / f"checkpoint_{it}.ok")
+        multihost_utils.sync_global_devices(f"mcmc_tpu_ckpt_{it}_marked")
+        if pid == 0:
+            # superseded checkpoints deleted only once the new set is live
+            for old_it, _kind, _paths in old[: max(0, len(old)
+                                                   - (self.keep - 1))]:
+                if old_it != it:
+                    self._delete_iter_files(old_it)
         return target
 
     # -- incremental histories (each file holds only its segment's rows, so
@@ -164,25 +302,78 @@ class CheckpointManager:
             out = {k: v[:, :upto] for k, v in out.items()}
         return out
 
+    @staticmethod
+    def _read_sharded(paths):
+        """Reassemble full state arrays from per-process shard files.
+        Overlapping (replicated) shards are identical by construction, so
+        later writes simply overwrite."""
+        state_arrays: dict = {}
+        histories: dict = {}
+        meta = None
+        filled: dict = {}
+        for path in paths:
+            with np.load(path) as z:
+                if "meta_json" in z.files:
+                    meta = json.loads(bytes(z["meta_json"]).decode())
+                for k in z.files:
+                    if k.startswith("hist_"):
+                        histories[k[len("hist_"):]] = z[k]
+                    elif k.startswith("shape__"):
+                        name = k[len("shape__"):]
+                        filled.setdefault(name, {})["shape"] = tuple(
+                            int(v) for v in z[k])
+                    elif k.startswith("shard__"):
+                        name, j = k[len("shard__"):].rsplit("__", 1)
+                        bounds = z[f"idx__{name}__{j}"]
+                        filled.setdefault(name, {}).setdefault(
+                            "shards", []).append((bounds, z[k]))
+        if meta is None:
+            raise FileNotFoundError(
+                "sharded checkpoint has no meta_json (process-0 file "
+                "missing?)")
+        for name, info in filled.items():
+            shards = info.get("shards", [])
+            if not shards:
+                raise ValueError(f"no shards found for state field {name}")
+            full = np.empty(info["shape"], dtype=shards[0][1].dtype)
+            covered = 0
+            seen_bounds = set()
+            for bounds, data in shards:
+                key = tuple(map(tuple, np.asarray(bounds)))
+                sl = tuple(slice(int(a), int(b)) for a, b in bounds)
+                full[sl] = data
+                if key not in seen_bounds:  # replicas recount nothing:
+                    seen_bounds.add(key)    # unique GSPMD blocks are disjoint
+                    covered += data.size
+            if covered < full.size:
+                raise ValueError(
+                    f"state field {name}: shard files cover {covered} of "
+                    f"{full.size} elements (missing process file?)")
+            state_arrays[name] = full
+        return state_arrays, histories, meta
+
     def load(self, cumulative_iter: Optional[int] = None):
         """Returns (cumulative_iter, states, histories, meta) or None."""
         cps = self._checkpoints()
         if not cps:
             return None
         if cumulative_iter is None:
-            cumulative_iter, path = cps[-1]
+            cumulative_iter, kind, paths = cps[-1]
         else:
-            match = [p for it, p in cps if it == cumulative_iter]
+            match = [(k, p) for it, k, p in cps if it == cumulative_iter]
             if not match:
                 raise FileNotFoundError(
                     f"no checkpoint at iter {cumulative_iter} in {self.dir}")
-            path = match[0]
-        with np.load(path) as z:
-            meta = json.loads(bytes(z["meta_json"]).decode())
-            state_arrays = {k[len("state_"):]: z[k] for k in z.files
-                            if k.startswith("state_")}
-            histories = {k[len("hist_"):]: z[k] for k in z.files
-                         if k.startswith("hist_")}
+            kind, paths = match[0]
+        if kind == "sharded":
+            state_arrays, histories, meta = self._read_sharded(paths)
+        else:
+            with np.load(paths[0]) as z:
+                meta = json.loads(bytes(z["meta_json"]).decode())
+                state_arrays = {k[len("state_"):]: z[k] for k in z.files
+                                if k.startswith("state_")}
+                histories = {k[len("hist_"):]: z[k] for k in z.files
+                             if k.startswith("hist_")}
         states = _arrays_to_state(state_arrays,
                                   meta.pop("state_class", "ChainState"))
         cum = meta.pop("cumulative_iter")
@@ -214,6 +405,13 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
     ck = mgr.load()
     if ck is not None:
         done, states, histories, _ = ck
+        if getattr(sampler, "mesh", None) is not None:
+            # loaded states are full host arrays; restore the chains-axis
+            # placement so a resumed run keeps the sharded layout instead
+            # of silently running replicated
+            from ..parallel.mesh import shard_chains
+
+            states = shard_chains(states, sampler.mesh)
         histories = {k: np.asarray(v) for k, v in histories.items()}
     else:
         done = 0

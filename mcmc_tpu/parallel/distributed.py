@@ -17,10 +17,13 @@ Layout guidance (matches how the samplers use the axes):
   the per-step halo ``ppermute`` rides ICI, never DCN.
 ``global_chains_mesh`` / ``global_chains_grid_mesh`` encode that order.
 
-Checkpointing: io/checkpoint.py writes a single host-gathered file; in a
-multi-host run call it from process 0 only (``jax.process_index() == 0``)
-after a ``jax.experimental.multihost_utils.process_allgather`` — or point
-each process at a process-local directory.
+Checkpointing: io/checkpoint.py auto-shards in multi-process runs — every
+process calls ``CheckpointManager.save`` with the GLOBAL state and writes
+only its addressable shards (``checkpoint_{N}.proc{k}of{P}.npz``, no host
+gather, no DCN traffic); process 0 publishes the ``.ok`` completion marker
+after a global barrier.  Requires a shared filesystem, as on TPU pods.
+Exercised end-to-end on a real 2-process cluster in
+tests/test_distributed.py::test_two_process_sharded_checkpoint.
 
 Smoke-tested in-process with a 1-process coordinator
 (tests/test_distributed.py) since this image has a single host; on a real

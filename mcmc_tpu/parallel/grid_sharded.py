@@ -19,6 +19,37 @@ Two sampler entry points:
 Both use the INCREMENTAL windowed residual patch (chain_crf's stale-ring
 scheme, O(B^2)/step) with one (1, CW) halo flux row exchanged each way per
 step for blocks that touch shard boundaries — not a full-grid recompute.
+
+Why there is NO grid-sharded SGS variant (deliberate, quantitative):
+
+1. **Communication asymmetry.** The CRF step's only cross-shard data need
+   is the pad-1 gradient stencil: one flux row each way per step.  The SGS
+   step (models/chain_sgs.py) additionally conditions each block on
+   neighbor data gathered from a ``search_radius`` disc — 30 km = 60 cells
+   at production resolution (smallScaleChain_multiprocessing.py:555) —
+   around a window that lands anywhere in the region.  Row-sharding a
+   512-row grid 8 ways gives 64-row shards: the conditioning disc
+   (121-row diameter) spans ~2-3 shards for EVERY step, so each step would
+   all-gather a multi-shard neighborhood of the bed/z planes (plus the
+   octant top-k over it), not exchange one halo row.  That is a
+   collective-per-step design with no ICI-friendly locality — the mechanism
+   that makes sharded CRF cheap does not transfer.
+2. **No memory case.** Grid sharding exists for grids too large for one
+   device.  All per-chain SGS state is 4 planes of (H, W) f32 — 4 MB at
+   512², 13 MB at the 900² production domain (T1), so a single v5e chip
+   holds hundreds of chains; the regime where sharding becomes necessary
+   (≳16k²) is ~300x beyond any dataset the reference targets.
+3. **Algorithmic mismatch at scale.** The SGS family is the *small-scale
+   refinement* chain: 5-20-cell blocks (reference MCMC.py:1749-1756) on a
+   bed already equilibrated by the large-scale CRF chain.  Random-scan MH
+   mixing time scales like (grid_area / block_area); at a hypothetical
+   16k² sharded grid an SB≈36 block update needs ~2e5 steps to touch each
+   cell once — the production instrument at that scale is the CRF chain
+   (which IS sharded here), with SGS applied per-tile afterwards.
+Conclusion: grid-sharded SGS would add a per-step multi-shard gather to
+serve a regime the algorithm is not used in; chains-axis parallelism (the
+production axis, make_sgs_step_batched over a ``chains``-sharded batch) is
+implemented and tested instead.  Mirrored in PARITY.md.
 """
 
 from __future__ import annotations

@@ -33,6 +33,32 @@ def chains_grid_mesh(n_chains_axis: int, n_grid_axis: int, devices=None) -> Mesh
     return Mesh(dev, axis_names=("chains", "grid"))
 
 
+def _put(x, sharding: NamedSharding):
+    """Place one array under ``sharding``, multi-process aware.
+
+    On a multi-host mesh the sharding is not fully addressable, where
+    ``jax.device_put`` refuses host data; ``make_array_from_callback``
+    materializes only this process's shards instead (the input must be the
+    same full (global) host array on every process — true for problem
+    constants, split keys, and checkpoint-reassembled states).
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(jax.numpy.asarray(x), sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # already a global array: reshard inside XLA (host np round-trips
+        # are impossible — the data is not process-local)
+        return jax.jit(lambda a: a, out_shardings=sharding)(x)
+    if jax.numpy.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+        # typed PRNG keys have no numpy form: place the raw key words (the
+        # trailing key-data dim replicated) and re-wrap
+        data = _put(jax.random.key_data(x),
+                    NamedSharding(sharding.mesh, P(*sharding.spec, None)))
+        return jax.random.wrap_key_data(data)
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(xnp.shape, sharding,
+                                        lambda idx: xnp[idx])
+
+
 def shard_chains(tree, mesh: Mesh):
     """Place a chain-batched pytree with the leading axis split over ``chains``.
 
@@ -46,7 +72,7 @@ def shard_chains(tree, mesh: Mesh):
             spec = P("chains", *([None] * (x.ndim - 1)))
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        return _put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, tree)
 
@@ -54,6 +80,4 @@ def shard_chains(tree, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (the shared problem constants) across the mesh."""
     return jax.tree.map(
-        lambda x: jax.device_put(jax.numpy.asarray(x), NamedSharding(mesh, P())),
-        tree,
-    )
+        lambda x: _put(x, NamedSharding(mesh, P())), tree)

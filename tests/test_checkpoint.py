@@ -53,7 +53,7 @@ class TestCheckpoint:
         mgr = CheckpointManager(tmp_path)
         mgr.save(10, states)
         mgr.save(20, states)
-        assert [it for it, _ in mgr._checkpoints()] == [20]
+        assert [it for it, _, _ in mgr._checkpoints()] == [20]
 
     def test_resume_equals_uninterrupted(self, tmp_path):
         # uninterrupted
@@ -74,6 +74,106 @@ class TestCheckpoint:
         assert h2["loss"].shape == (2, 60)
         np.testing.assert_array_equal(h2["loss"], full["loss"])
         np.testing.assert_array_equal(h2["step"], full["step"])
+
+    def test_sharded_save_roundtrip(self, tmp_path):
+        """Forced-sharded save on a mesh-sharded state (single process):
+        writes shard files + marker, reassembles bitwise on load.  The 2D
+        (chains, grid) mesh makes every leaf REPLICATED over grid, so the
+        replica-dedup path is exercised too."""
+        import dataclasses
+
+        import jax
+        from mcmc_tpu.parallel.mesh import chains_grid_mesh, shard_chains
+
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        mesh = chains_grid_mesh(4, 2)
+        s = MultiChainSampler(chain, n_chains=4, mesh=mesh)
+        states = s.init(seeds=5)
+        states, _ = s.run_segment(states, 5)
+        mgr = CheckpointManager(tmp_path)
+        mgr.save(5, states, meta={"tag": "sharded"}, sharded=True)
+        names = sorted(x.name for x in tmp_path.iterdir())
+        assert "checkpoint_5.ok" in names
+        assert "checkpoint_5.proc0of1.npz" in names
+        assert mgr.latest_iter() == 5
+        it, loaded, _, meta = mgr.load()
+        assert it == 5 and meta == {"tag": "sharded"}
+        for f in dataclasses.fields(type(states)):
+            if f.name == "key":
+                continue
+            want = np.asarray(getattr(states, f.name))
+            got = np.asarray(getattr(loaded, f.name))
+            np.testing.assert_array_equal(want, got, err_msg=f.name)
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(loaded.key)),
+            np.asarray(jax.random.key_data(states.key)))
+        # resume from the sharded checkpoint: re-shard and continue; must
+        # equal continuing the live states bitwise
+        st2 = shard_chains(loaded, mesh)
+        _, tr_live = s.run_segment(states, 5)
+        _, tr_resumed = s.run_segment(st2, 5)
+        np.testing.assert_array_equal(np.asarray(tr_live["loss"]),
+                                      np.asarray(tr_resumed["loss"]))
+
+    def test_sharded_supersedes_single(self, tmp_path):
+        """keep=1 cleanup works across layouts: a sharded save deletes an
+        older single-file checkpoint and vice versa."""
+        s = make_sampler()
+        states = s.init(seeds=3)
+        mgr = CheckpointManager(tmp_path)
+        mgr.save(10, states)
+        mgr.save(20, states, sharded=True)
+        assert [it for it, _, _ in mgr._checkpoints()] == [20]
+        assert not (tmp_path / "checkpoint_10.npz").exists()
+        mgr.save(30, states)
+        assert [it for it, _, _ in mgr._checkpoints()] == [30]
+        assert not (tmp_path / "checkpoint_20.ok").exists()
+        assert not (tmp_path / "checkpoint_20.proc0of1.npz").exists()
+
+    def test_resume_restores_mesh_placement(self, tmp_path):
+        """A resumed run on a meshed sampler must re-shard the loaded host
+        state over the chains axis (not run replicated) and still be
+        bitwise identical to the uninterrupted run."""
+        import jax
+        from mcmc_tpu.parallel.mesh import chains_mesh
+
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        mesh = chains_mesh(8)
+
+        s1 = MultiChainSampler(chain, n_chains=8, mesh=mesh)
+        st = s1.init(seeds=4)
+        _, full = s1.run(st, n_iter=40, segment_size=20, progress=False)
+
+        d = tmp_path / "ck"
+        s2 = MultiChainSampler(chain, n_chains=8, mesh=mesh)
+        run_with_checkpointing(s2, 20, d, seeds=4, segment_size=20)
+        s3 = MultiChainSampler(chain, n_chains=8, mesh=mesh)
+        states3, h2, c2 = run_with_checkpointing(s3, 40, d, seeds=4,
+                                                 segment_size=20)
+        assert c2 == 40
+        np.testing.assert_array_equal(h2["loss"], full["loss"])
+        # final state is actually sharded over all 8 devices
+        assert len(states3.bed.sharding.device_set) == 8
+
+    def test_incomplete_sharded_set_invisible(self, tmp_path):
+        """A sharded set without its .ok marker (crash mid-save) must not
+        be discovered; with the marker but a missing shard file, load must
+        not silently return a partial state."""
+        s = make_sampler()
+        states = s.init(seeds=3)
+        mgr = CheckpointManager(tmp_path)
+        mgr.save(10, states)
+        mgr.save(20, states, sharded=True)
+        # simulate crash: marker removed -> set invisible, 10 still gone
+        (tmp_path / "checkpoint_20.ok").unlink()
+        assert mgr.latest_iter() is None
+        # marker present but a shard file missing -> set invisible too
+        (tmp_path / "checkpoint_20.ok").touch()
+        shard = tmp_path / "checkpoint_20.proc0of1.npz"
+        shard.rename(tmp_path / "checkpoint_20.proc0of2.npz")
+        assert mgr.latest_iter() is None
 
     def test_resume_noop_when_complete(self, tmp_path):
         s = make_sampler()

@@ -155,3 +155,97 @@ print("TWO_PROC_OK", flush=True)
                     p.kill()
         assert "TWO_PROC_OK" in out0, out0
         assert "TWO_PROC_OK" in out1, out1
+
+    def test_two_process_sharded_checkpoint(self, tmp_path):
+        """Pod-style checkpointing on a REAL 2-process cluster: each
+        process writes only its addressable shards (no host gather),
+        process 0 publishes the completion marker, load() reassembles the
+        full state bitwise, and a resume from the sharded checkpoint
+        continues identically to the live chains (SURVEY.md §5.4's
+        sharded-checkpoint design)."""
+        import os
+        import pathlib
+        import socket
+
+        root = str(pathlib.Path(__file__).resolve().parents[1])
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        ckdir = tmp_path / "ck"
+        ckdir.mkdir()
+        worker = tmp_path / "worker.py"
+        worker.write_text(r"""
+import dataclasses
+import os
+import sys
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+ckdir = %r
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mcmc_tpu.parallel.distributed import (initialize_distributed,
+                                           global_chains_mesh)
+ok = initialize_distributed(coordinator_address="localhost:%d",
+                            num_processes=2, process_id=pid)
+assert ok and jax.process_count() == 2
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from tests.conftest import make_synthetic_problem
+from tests.test_chain_crf import build_small_chain
+from mcmc_tpu.parallel import MultiChainSampler
+from mcmc_tpu.parallel.mesh import shard_chains
+from mcmc_tpu.io.checkpoint import CheckpointManager
+
+mesh = global_chains_mesh()
+p = make_synthetic_problem(H=64, W=64)
+chain = build_small_chain(p)
+s = MultiChainSampler(chain, n_chains=4, mesh=mesh)
+st = s.init(seeds=0)
+st, _ = s.run_segment(st, 10)
+mgr = CheckpointManager(ckdir)
+mgr.save(10, st)  # auto-sharded: process_count == 2
+names = sorted(os.listdir(ckdir))
+assert "checkpoint_10.ok" in names, names
+assert "checkpoint_10.proc0of2.npz" in names, names
+assert "checkpoint_10.proc1of2.npz" in names, names
+cum, loaded, _, _ = mgr.load()
+assert cum == 10
+rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+for f in dataclasses.fields(type(st)):
+    if f.name == "key":
+        continue
+    want = np.asarray(rep(getattr(st, f.name)))
+    got = np.asarray(getattr(loaded, f.name))
+    assert want.dtype == got.dtype and np.array_equal(want, got), f.name
+want_kd = np.asarray(rep(jax.random.key_data(st.key)))
+got_kd = np.asarray(jax.random.key_data(loaded.key))
+assert np.array_equal(want_kd, got_kd)
+# resume: re-shard the reassembled state; continuation must be bitwise ==
+st2 = shard_chains(loaded, mesh)
+_, tr_live = s.run_segment(st, 5)
+_, tr_res = s.run_segment(st2, 5)
+la = np.asarray(rep(tr_live["loss"]))
+lb = np.asarray(rep(tr_res["loss"]))
+assert np.array_equal(la, lb)
+jax.distributed.shutdown()
+print("SHARDED_CKPT_OK", flush=True)
+""" % (root, str(ckdir), port))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        env["PYTHONPATH"] = root
+        env["JAX_PLATFORMS"] = "cpu"
+        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        try:
+            out1, _ = p1.communicate(timeout=280)
+            out0, _ = p0.communicate(timeout=60)
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+        assert "SHARDED_CKPT_OK" in out0, out0
+        assert "SHARDED_CKPT_OK" in out1, out1
