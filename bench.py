@@ -24,10 +24,12 @@ import time
 import numpy as np
 
 GRID = 512
-# 384 chains: measured CRF throughput+ESS optimum on v5e-1 (347-354k it/s
-# and +57% ESS/s vs 256; 448+ hits the remote compiler's ceiling for the
-# fused kernel — scaling table in NOTES_ROUND3.md)
-N_CHAINS = 384
+# 768 chains = 2 chunked launches of 384 (the fused kernel's single-launch
+# compile ceiling; sampler.scan_chunked keeps the batch chunked across the
+# scan): measured aggregate-throughput optimum on v5e-1 — 384.9k it/s,
+# ESS/s 180 (vs 337k/80 at 256). 1536 chains trades 3% it/s for 2.6x
+# ESS/s (463/s); HBM exhausts at 2304. Scaling table in NOTES_ROUND3.md.
+N_CHAINS = 768
 SIGMA_MC = 5.0
 RES = 500.0
 

@@ -346,13 +346,19 @@ def make_step(static: CRFStatic):
     return step
 
 
-def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
+def make_batched_step_fused(static: CRFStatic, interpret: bool = False,
+                            max_chains: int = None):
     """Chain-batched MH step backed by the fused Pallas window kernel.
 
     Numerically equivalent to ``vmap(make_step(static))`` (asserted in
     tests/test_window_kernel.py) but the window gather/compute/scatter phase
     runs as one pallas_call with per-chain DMAs instead of XLA
     gather/scatter — the dominant cost of the vmapped path on TPU.
+    Batches larger than ``max_chains`` (default FUSED_MAX_CHAINS, the
+    measured single-launch compile ceiling) raise at trace time: chunking
+    must happen OUTSIDE the scan carry (parallel.sampler.scan_chunked) —
+    slicing/stacking the full multi-GB state every step costs ~15 ms at
+    512 chains (measured; NOTES_ROUND3.md).
 
     Signature: (consts, states_batched) -> (states_batched, traces) where
     every state leaf and trace entry has a leading chain axis.
@@ -543,7 +549,40 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False):
         }
         return new_states, trace
 
-    return step
+    max_chains = (FUSED_MAX_CHAINS if max_chains is None else int(max_chains))
+
+    def checked_step(consts: CRFConsts, states: ChainState):
+        C = states.fields.shape[0]
+        if C > max_chains:
+            raise ValueError(
+                f"{C} chains exceeds the fused kernel's single-launch "
+                f"compile ceiling ({max_chains}); run through "
+                f"parallel.sampler.run_chains, which keeps the batch "
+                f"chunked across the scan (scan_chunked)")
+        return step(consts, states)
+
+    return checked_step
+
+
+# largest chain batch the fused window kernel compiles as ONE launch on the
+# current TPU toolchain (384 ok; 448/512/1024 reproducibly crash the
+# compiler — NOTES_ROUND3.md sweep B); bigger batches are chunked
+FUSED_MAX_CHAINS = 384
+
+
+def fused_chunk_count(n_chains: int, max_chains: int = None) -> int:
+    """Number of equal kernel launches needed to cover ``n_chains``
+    (1 = single launch; 0 = no divisor works, caller must use the XLA
+    path — only possible for prime chain counts above the limit)."""
+    limit = FUSED_MAX_CHAINS if max_chains is None else int(max_chains)
+    if n_chains <= limit:
+        return 1
+    # at most 16 sequential launches: beyond that the per-launch dispatch
+    # overhead dominates and the XLA path is the honest fallback
+    for k in range(2, 17):
+        if n_chains % k == 0 and n_chains // k <= limit:
+            return k
+    return 0
 
 
 def chain_loss_mc(massConvResidual, mc_region_mask, sigma_mc) -> float:

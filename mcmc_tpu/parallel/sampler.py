@@ -55,9 +55,19 @@ def run_chains(static, consts, states, n_steps: int, save_beds: bool = False,
         # TPU (vmapped XLA CG elsewhere) — semantics == vmap(make_sgs_step)
         batched = make_sgs_step_batched(static)
     elif impl == "fused":
-        from ..models.chain_crf import make_batched_step_fused
+        from ..models.chain_crf import (fused_chunk_count,
+                                        make_batched_step_fused)
 
+        n_chains = jax.tree.leaves(states)[0].shape[0]
+        k = fused_chunk_count(n_chains)
+        if k == 0:
+            raise ValueError(
+                f"{n_chains} chains has no equal split into fused-kernel "
+                f"launches; use a composite chain count or impl='xla'")
         batched = make_batched_step_fused(static)
+        if k > 1:
+            return scan_chunked(batched, consts, states, k, n_steps,
+                                save_beds=save_beds, is_sgs=False)
     else:
         step = make_step(static)
         batched = jax.vmap(step, in_axes=(None, 0))
@@ -72,6 +82,43 @@ def run_chains(static, consts, states, n_steps: int, save_beds: bool = False,
         return sts, tr
 
     return jax.lax.scan(body, states, None, length=n_steps)
+
+
+def scan_chunked(batched, consts, states, k: int, n_steps: int,
+                 save_beds: bool = False, is_sgs: bool = False):
+    """Scan a batched step over ``n_steps`` with the chain batch split into
+    ``k`` equal chunks that stay SEPARATE scan-carry leaves.
+
+    Purpose: batches above the fused kernel's single-launch compile
+    ceiling (chain_crf.FUSED_MAX_CHAINS) run as k sequential launches per
+    step.  Keeping the carry chunked is essential — a reshape/lax.map over
+    one concatenated state slices + restacks the full multi-GB state every
+    step (measured 16 ms/step at 512 chains on v5e-1 vs ~1.5 ms chunked;
+    NOTES_ROUND3.md).  Traces (per-chain scalars) are concatenated per
+    step — cheap.  Numerics are bitwise identical to a single launch
+    (chains are independent; tests/test_window_kernel.py)."""
+    C = jax.tree.leaves(states)[0].shape[0]
+    if C % k:
+        raise ValueError(f"{C} chains not divisible into {k} chunks")
+    c = C // k
+    chunks = tuple(
+        jax.tree.map(lambda x: x[i * c:(i + 1) * c], states)
+        for i in range(k))
+
+    def body(sts, _):
+        outs = [batched(consts, s) for s in sts]
+        new = tuple(o[0] for o in outs)
+        tr = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                          *(o[1] for o in outs))
+        if save_beds:
+            bed = jnp.concatenate([s.bed for s in new], axis=0)
+            tr = dict(tr, bed=bed + consts.trend if is_sgs else bed)
+        return new, tr
+
+    final_chunks, traces = jax.lax.scan(body, chunks, None, length=n_steps)
+    final = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0),
+                         *final_chunks)
+    return final, traces
 
 
 @jax.jit
@@ -108,6 +155,7 @@ class MultiChainSampler:
             # the fused Pallas path needs a real TPU, a single device (the
             # sharded path partitions the vmapped XLA step instead), and
             # DMA-alignable window geometry
+            from ..models.chain_crf import fused_chunk_count
             from ..ops.window_kernel import fused_path_supported
 
             impl = ("fused" if not self.is_sgs
@@ -115,6 +163,9 @@ class MultiChainSampler:
                     and mesh is None
                     and fused_path_supported(self.static.H, self.static.W,
                                              self.static.rf.B)
+                    # batches above the kernel's single-launch compile
+                    # ceiling run chunked; prime counts can't chunk equally
+                    and fused_chunk_count(self.n_chains) > 0
                     else "xla")
         self.impl = "xla" if self.is_sgs else impl
 

@@ -61,6 +61,55 @@ class TestFusedKernel:
                                        np.asarray(tr_f["block"]),
                                        err_msg=f"iter {it}")
 
+    def test_chunked_scan_bitwise_equal(self, setup):
+        """Batches above the kernel's compile ceiling scan with the batch
+        split into chunk-carries (sampler.scan_chunked) — must be bitwise
+        identical to the single-launch scan (chains are independent)."""
+        from functools import partial
+
+        from mcmc_tpu.parallel.sampler import scan_chunked
+
+        static, consts, states = setup
+        batched = make_batched_step_fused(static, interpret=True)
+
+        @jax.jit
+        def run_one(states):
+            return jax.lax.scan(lambda s, _: batched(consts, s), states,
+                                None, length=4)
+
+        run_chunked = jax.jit(partial(scan_chunked, batched, consts,
+                                      k=2, n_steps=4))
+        s_a, tr_a = run_one(states)
+        s_b, tr_b = run_chunked(states)
+        np.testing.assert_array_equal(np.asarray(s_a.fields),
+                                      np.asarray(s_b.fields))
+        np.testing.assert_array_equal(np.asarray(s_a.loss_mc),
+                                      np.asarray(s_b.loss_mc))
+        np.testing.assert_array_equal(np.asarray(tr_a["step"]),
+                                      np.asarray(tr_b["step"]))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(s_a.key)),
+            np.asarray(jax.random.key_data(s_b.key)))
+
+    def test_fused_step_raises_above_ceiling(self, setup):
+        static, consts, states = setup
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        step = make_batched_step_fused(static, interpret=True, max_chains=2)
+        with _pytest.raises(ValueError, match="compile ceiling"):
+            step(consts, states)  # 4 chains > 2
+
+    def test_chunk_count_selection(self):
+        from mcmc_tpu.models.chain_crf import fused_chunk_count
+
+        assert fused_chunk_count(256) == 1
+        assert fused_chunk_count(384) == 1
+        assert fused_chunk_count(512) == 2
+        assert fused_chunk_count(1024) == 4  # 512 halves again: 4 x 256
+        assert fused_chunk_count(768) == 2
+        assert fused_chunk_count(389) == 0  # prime above the ceiling
+
     def test_scan_runs(self, setup):
         """The fused step works under lax.scan (the production shape)."""
         import jax.numpy as jnp
