@@ -158,15 +158,25 @@ class MultiChainSampler:
             from ..models.chain_crf import fused_chunk_count
             from ..ops.window_kernel import fused_path_supported
 
-            impl = ("fused" if not self.is_sgs
-                    and jax.devices()[0].platform == "tpu"
-                    and mesh is None
-                    and fused_path_supported(self.static.H, self.static.W,
-                                             self.static.rf.B)
-                    # batches above the kernel's single-launch compile
-                    # ceiling run chunked; prime counts can't chunk equally
+            eligible = (not self.is_sgs
+                        and jax.devices()[0].platform == "tpu"
+                        and mesh is None)
+            geom_ok = fused_path_supported(self.static.H, self.static.W,
+                                           self.static.rf.B)
+            # batches above the kernel's single-launch compile ceiling run
+            # chunked; prime counts can't chunk equally
+            impl = ("fused" if eligible and geom_ok
                     and fused_chunk_count(self.n_chains) > 0
                     else "xla")
+            if eligible and not geom_ok:
+                import warnings
+
+                warnings.warn(
+                    f"grid {self.static.H}x{self.static.W} is not "
+                    "DMA-alignable (needs H % 8 == 0 and W % 128 == 0); "
+                    "falling back to the ~6x slower vmapped XLA step. "
+                    "Pad the domain with mcmc_tpu.utils.pad_domain to "
+                    "enable the fused kernel.", stacklevel=2)
         self.impl = "xla" if self.is_sgs else impl
 
     # -- state management ---------------------------------------------------

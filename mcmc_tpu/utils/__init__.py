@@ -8,6 +8,7 @@ from .config import (
     RunConfig,
     DriverConfig,
 )
+from .domain import aligned_shape, pad_domain
 from .rng import as_key, split_for_chains
 
 __all__ = [
@@ -21,4 +22,6 @@ __all__ = [
     "DriverConfig",
     "as_key",
     "split_for_chains",
+    "aligned_shape",
+    "pad_domain",
 ]

@@ -1,0 +1,87 @@
+"""Domain padding for fused-kernel alignment.
+
+The fused Pallas window kernel (ops/window_kernel.py) needs DMA-alignable
+window geometry: row starts quantized to 8 and column starts to 128, which
+requires ``H % 8 == 0`` and ``W % 128 == 0`` (or full-dimension windows).
+Grids that violate this — e.g. the reference tutorial's 900x900 T1 domain
+(T1_LoadData.ipynb cells 9-11) — silently fall back to the vmapped XLA
+step, which is gather-latency-bound on TPU (measured 2026-08-17: 52-63k
+chain-it/s at 900x900 vs ~350k for the fused path at 512x512).
+
+``pad_domain`` extends the physical domain by <=7 rows and <=127 columns so
+the fused path applies: consts planes are edge-replicated (the pad behaves
+like a frozen continuation of the boundary), coordinates continue their
+linear ramps, and the update region / conditioning masks are zero in the
+pad, so no proposal center is ever sampled there and (with
+``massConvInRegion=True``, the production setting) no pad cell contributes
+to the loss.  Semantically this is simply running a slightly larger domain:
+blocks proposed near the true east/south boundary spill into inert pad
+cells instead of being clipped, which only matters if the update region
+touches the boundary (the reference's own crops keep a +-20-cell margin,
+Topography.py crop logic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# pad rules by constructor-argument name (ChainCRF/ChainSGS signature)
+_COORD_X = ("xx",)
+_COORD_Y = ("yy",)
+_ZERO = ("region", "update_region", "data_mask", "dhdt", "smb")
+_NAN = ("cond_bed",)
+# everything else (surf, velx, vely, initial_bed, grounded, trend, ...)
+# edge-replicates
+
+
+def aligned_shape(H: int, W: int) -> tuple[int, int]:
+    """Smallest (Hp, Wp) >= (H, W) with Hp % 8 == 0 and Wp % 128 == 0."""
+    return (-(-H // 8) * 8, -(-W // 128) * 128)
+
+
+def pad_domain(planes: dict, resolution: float):
+    """Pad all 2D planes in ``planes`` to the fused-kernel-aligned shape.
+
+    planes: name -> (H, W) array; names matching the chain constructor
+    arguments get type-appropriate pad values (see module docstring).
+    Returns ``(padded, unpad)`` where ``padded`` maps the same names to
+    (Hp, Wp) arrays and ``unpad(a)`` slices any (..., Hp, Wp) array back to
+    (..., H, W).  If the shape is already aligned, returns the inputs
+    unchanged with an identity unpad.
+    """
+    shapes = {a.shape for a in planes.values() if np.ndim(a) == 2}
+    if len(shapes) != 1:
+        raise ValueError(f"planes must share one 2D shape, got {shapes}")
+    (H, W), = shapes
+    Hp, Wp = aligned_shape(H, W)
+    if (Hp, Wp) == (H, W):
+        return dict(planes), lambda a: a
+    ph, pw = Hp - H, Wp - W
+    res = float(resolution)
+
+    def _pad(name, a):
+        a = np.asarray(a)
+        if a.ndim != 2:
+            return a  # scalars / non-grid entries pass through
+        if name in _COORD_X:
+            # x increases along columns; continue the ramp east, copy rows
+            cols = a[:, -1:] + res * np.arange(1, pw + 1)[None, :]
+            a = np.concatenate([a, cols.astype(a.dtype)], axis=1)
+            return np.pad(a, ((0, ph), (0, 0)), mode="edge")
+        if name in _COORD_Y:
+            rows = a[-1:, :] + res * np.arange(1, ph + 1)[:, None]
+            a = np.concatenate([a, rows.astype(a.dtype)], axis=0)
+            return np.pad(a, ((0, 0), (0, pw)), mode="edge")
+        if name in _ZERO:
+            return np.pad(a, ((0, ph), (0, pw)), constant_values=0)
+        if name in _NAN:
+            return np.pad(a.astype(float), ((0, ph), (0, pw)),
+                          constant_values=np.nan).astype(a.dtype)
+        return np.pad(a, ((0, ph), (0, pw)), mode="edge")
+
+    padded = {k: _pad(k, v) for k, v in planes.items()}
+
+    def unpad(a):
+        return np.asarray(a)[..., :H, :W]
+
+    return padded, unpad
