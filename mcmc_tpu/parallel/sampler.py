@@ -161,8 +161,8 @@ class MultiChainSampler:
             eligible = (not self.is_sgs
                         and jax.devices()[0].platform == "tpu"
                         and mesh is None)
-            geom_ok = fused_path_supported(self.static.H, self.static.W,
-                                           self.static.rf.B)
+            geom_ok = eligible and fused_path_supported(
+                self.static.H, self.static.W, self.static.rf.B)
             # batches above the kernel's single-launch compile ceiling run
             # chunked; prime counts can't chunk equally
             impl = ("fused" if eligible and geom_ok
