@@ -268,13 +268,13 @@ def main():
     # segment=2000: per-segment trace transfers cost ~50 ms on the
     # tunneled link; 500-iter segments underreport by ~10% (a 200k-iter
     # soak at segment 2000 sustains 324k it/s, 2026-08-17)
-    tpu_rate, ess_rate, _ = measure_tpu(chain, label="TPU CRF", segment=2000,
+    tpu_rate, ess_rate, acc = measure_tpu(chain, label="TPU CRF", segment=2000,
                                         min_seconds=8.0, max_iters=12000,
                                         burn_iters=8000)
 
     sgs_chain = make_sgs_chain(p)
     sgs_cpu_farm, sgs_cpu_single = measure_cpu_sgs_baseline(p, sgs_chain)
-    sgs_rate, sgs_ess_rate, _ = measure_tpu(
+    sgs_rate, sgs_ess_rate, sgs_acc = measure_tpu(
         sgs_chain, n_chains=N_CHAINS_SGS, segment=400, min_seconds=6.0,
         max_iters=2400, label="TPU SGS", burn_iters=2000)
 
@@ -288,11 +288,13 @@ def main():
         "cpu_cores": _cores(),
         "cpu_twin_it_per_sec_single_core": round(cpu_single, 2),
         "ess_loss_per_sec": round(ess_rate, 2),
+        "acceptance": round(acc, 3),
         # small-scale (SGS) chain family, same keys
         "sgs_chain_iters_per_sec": round(sgs_rate, 1),
         "sgs_vs_baseline": round(sgs_rate / max(sgs_cpu_farm, 1e-9), 2),
         "sgs_cpu_twin_it_per_sec_single_core": round(sgs_cpu_single, 3),
         "sgs_ess_loss_per_sec": round(sgs_ess_rate, 2),
+        "sgs_acceptance": round(sgs_acc, 3),
         "sgs_n_chains": N_CHAINS_SGS,
     }
     print(json.dumps(result))

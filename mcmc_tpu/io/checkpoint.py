@@ -20,7 +20,10 @@ addressable shards of the global state (no host gather, no cross-DCN
 traffic), plus an empty ``checkpoint_{N}.ok`` completion marker written by
 process 0 after a global barrier — a sharded checkpoint is visible to
 ``load``/``latest_iter`` only once the marker exists, so a crash mid-save
-can never yield a half-readable checkpoint.  ``load`` reassembles the full
+can never yield a half-readable checkpoint.  A re-save at an existing
+iteration (e.g. a post-crash restart with a different process count)
+first retracts the old set — marker, then stale shard files — so a stale
+layout can never shadow or mix with the new one.  ``load`` reassembles the full
 arrays from all shard files (shared filesystem assumed, as on TPU pods);
 replicated shards (e.g. over a ``grid`` mesh axis) are deduplicated by
 their global index.
@@ -139,8 +142,14 @@ class CheckpointManager:
             if m:
                 markers.add(int(m.group(1)))
         out = {it: ("single", [p]) for it, p in singles.items()}
+        cur_nproc = jax.process_count()
         for it in markers:
-            for nproc, files in shards.get(it, {}).items():
+            layouts = shards.get(it, {})
+            # deterministic choice if stale sets coexist (shouldn't happen —
+            # saves retract same-iter leftovers — but never pick arbitrarily):
+            # prefer the current process count, then the largest set
+            for nproc in sorted(layouts, key=lambda n: (n != cur_nproc, -n)):
+                files = layouts[nproc]
                 if len(files) == nproc:
                     out[it] = ("sharded", [files[k] for k in sorted(files)])
                     break
@@ -195,6 +204,15 @@ class CheckpointManager:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        # retract any stale sharded set at this iteration (sharded beats
+        # single in discovery, so leftovers would shadow the new file);
+        # marker first, so the stale set never looks complete mid-delete
+        it = int(cumulative_iter)
+        (self.dir / f"checkpoint_{it}.ok").unlink(missing_ok=True)
+        for p in list(self.dir.iterdir()):
+            m = _SHARD_RE.search(p.name)
+            if m and int(m.group(1)) == it:
+                p.unlink(missing_ok=True)
         # delete superseded checkpoints only after the new one is durable
         for it, _kind, _paths in old[: max(0, len(old) - (self.keep - 1))]:
             if it != int(cumulative_iter):
@@ -233,6 +251,22 @@ class CheckpointManager:
                             **(meta or {})}).encode(), dtype=np.uint8)
 
         old = self._checkpoints()
+        # retract any pre-existing set at this iteration before writing: a
+        # re-save (e.g. restart with a different process count after a
+        # crash) must never leave a stale-but-complete-looking set under
+        # the shared marker, and readers must not see a mix of old and new
+        # shard files as one set.  Marker goes first.
+        if pid == 0:
+            (self.dir / f"checkpoint_{it}.ok").unlink(missing_ok=True)
+            for p in list(self.dir.iterdir()):
+                m = _SHARD_RE.search(p.name)
+                if m and int(m.group(1)) == it and int(m.group(3)) != nproc:
+                    p.unlink(missing_ok=True)
+                    continue
+                m = _CKPT_RE.search(p.name)
+                if m and int(m.group(1)) == it:
+                    p.unlink(missing_ok=True)
+        multihost_utils.sync_global_devices(f"mcmc_tpu_ckpt_{it}_retracted")
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
         try:
             with os.fdopen(fd, "wb") as fh:

@@ -572,8 +572,9 @@ FUSED_MAX_CHAINS = 384
 
 def fused_chunk_count(n_chains: int, max_chains: int = None) -> int:
     """Number of equal kernel launches needed to cover ``n_chains``
-    (1 = single launch; 0 = no divisor works, caller must use the XLA
-    path — only possible for prime chain counts above the limit)."""
+    (1 = single launch; 0 = no divisor in 2..16 yields chunks within the
+    per-launch limit, caller must use the XLA path — happens for prime
+    chain counts above the limit and for any count above 16x the limit)."""
     limit = FUSED_MAX_CHAINS if max_chains is None else int(max_chains)
     if n_chains <= limit:
         return 1

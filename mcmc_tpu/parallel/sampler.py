@@ -55,15 +55,18 @@ def run_chains(static, consts, states, n_steps: int, save_beds: bool = False,
         # TPU (vmapped XLA CG elsewhere) — semantics == vmap(make_sgs_step)
         batched = make_sgs_step_batched(static)
     elif impl == "fused":
-        from ..models.chain_crf import (fused_chunk_count,
+        from ..models.chain_crf import (FUSED_MAX_CHAINS, fused_chunk_count,
                                         make_batched_step_fused)
 
         n_chains = jax.tree.leaves(states)[0].shape[0]
         k = fused_chunk_count(n_chains)
         if k == 0:
             raise ValueError(
-                f"{n_chains} chains has no equal split into fused-kernel "
-                f"launches; use a composite chain count or impl='xla'")
+                f"{n_chains} chains has no equal split into <=16 "
+                f"fused-kernel launches of <={FUSED_MAX_CHAINS} chains; "
+                f"use a chain count divisible into such chunks (e.g. a "
+                f"multiple of {FUSED_MAX_CHAINS} up to "
+                f"{16 * FUSED_MAX_CHAINS}) or impl='xla'")
         batched = make_batched_step_fused(static)
         if k > 1:
             return scan_chunked(batched, consts, states, k, n_steps,
@@ -164,10 +167,10 @@ class MultiChainSampler:
             geom_ok = eligible and fused_path_supported(
                 self.static.H, self.static.W, self.static.rf.B)
             # batches above the kernel's single-launch compile ceiling run
-            # chunked; prime counts can't chunk equally
-            impl = ("fused" if eligible and geom_ok
-                    and fused_chunk_count(self.n_chains) > 0
-                    else "xla")
+            # chunked; counts with no equal split into <=16 chunks within
+            # the ceiling can't chunk
+            chunk_ok = fused_chunk_count(self.n_chains) > 0
+            impl = "fused" if eligible and geom_ok and chunk_ok else "xla"
             if eligible and not geom_ok:
                 import warnings
 
@@ -177,6 +180,18 @@ class MultiChainSampler:
                     "falling back to the ~6x slower vmapped XLA step. "
                     "Pad the domain with mcmc_tpu.utils.pad_domain to "
                     "enable the fused kernel.", stacklevel=2)
+            elif eligible and not chunk_ok:
+                import warnings
+
+                from ..models.chain_crf import FUSED_MAX_CHAINS
+
+                warnings.warn(
+                    f"{self.n_chains} chains has no equal split into <=16 "
+                    f"fused-kernel launches of <={FUSED_MAX_CHAINS} chains; "
+                    "falling back to the ~6x slower vmapped XLA step. Use "
+                    f"a chain count divisible into such chunks (e.g. a "
+                    f"multiple of {FUSED_MAX_CHAINS} up to "
+                    f"{16 * FUSED_MAX_CHAINS}).", stacklevel=2)
         self.impl = "xla" if self.is_sgs else impl
 
     # -- state management ---------------------------------------------------

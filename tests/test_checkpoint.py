@@ -175,6 +175,41 @@ class TestCheckpoint:
         shard.rename(tmp_path / "checkpoint_20.proc0of2.npz")
         assert mgr.latest_iter() is None
 
+    def test_resave_retracts_stale_same_iter_sets(self, tmp_path):
+        """A re-save at an existing iteration (post-crash restart, possibly
+        with a different process count) must retract the old set so a
+        stale-but-complete layout can never shadow the new state."""
+        import shutil
+
+        s = make_sampler()
+        st_a = s.init(seeds=3)
+        st_b = s.init(seeds=99)
+        mgr = CheckpointManager(tmp_path)
+
+        # stale sharded layout (pretend 2-process) at iter 20 + marker,
+        # then a sharded re-save with the current (1-process) layout
+        mgr.save(20, st_a, sharded=True)
+        src = tmp_path / "checkpoint_20.proc0of1.npz"
+        shutil.copy(src, tmp_path / "checkpoint_20.proc0of2.npz")
+        shutil.copy(src, tmp_path / "checkpoint_20.proc1of2.npz")
+        mgr.save(20, st_b, sharded=True)
+        names = {x.name for x in tmp_path.iterdir()}
+        assert "checkpoint_20.proc0of2.npz" not in names
+        assert "checkpoint_20.proc1of2.npz" not in names
+        _, loaded, _, _ = mgr.load()
+        np.testing.assert_array_equal(np.asarray(loaded.bed),
+                                      np.asarray(st_b.bed))
+
+        # single-file re-save over an existing sharded set at the same iter
+        # (sharded beats single in discovery, so leftovers would shadow it)
+        mgr.save(20, st_a)
+        names = {x.name for x in tmp_path.iterdir()}
+        assert "checkpoint_20.ok" not in names
+        assert not any(".proc" in n for n in names)
+        _, loaded, _, _ = mgr.load()
+        np.testing.assert_array_equal(np.asarray(loaded.bed),
+                                      np.asarray(st_a.bed))
+
     def test_resume_noop_when_complete(self, tmp_path):
         s = make_sampler()
         d = tmp_path / "ck"
