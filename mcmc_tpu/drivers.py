@@ -41,7 +41,7 @@ def _unpack_per_chain(states, hist, sampler):
         trend = np.asarray(sampler.consts.trend)
         beds = np.asarray(states.bed) + trend
     else:
-        beds = np.asarray(states.bed)
+        beds = sampler.unpad(np.asarray(states.bed))
     resampled = np.asarray(states.resampled)
     out = []
     for i in range(sampler.n_chains):

@@ -141,18 +141,55 @@ class MultiChainSampler:
     """
 
     def __init__(self, chain, n_chains: int, mesh=None,
-                 use_mesh: bool = True, impl: str = "auto"):
+                 use_mesh: bool = True, impl: str = "auto",
+                 auto_pad=True):
         from ..models.chain_sgs import ChainSGS
 
         self.chain = chain
         self.is_sgs = isinstance(chain, ChainSGS)
         self.n_chains = int(n_chains)
-        self.static, consts = chain.build()
+        self._true_hw = tuple(np.asarray(chain.xx).shape)
+        self.padded = False
         if mesh is None and use_mesh and len(jax.devices()) > 1:
             n_dev = len(jax.devices())
             usable = max(d for d in range(1, n_dev + 1) if self.n_chains % d == 0)
             mesh = chains_mesh(usable)
         self.mesh = mesh
+        # transparent alignment padding for the fused path (CRF, single
+        # device, unaligned grid — e.g. the reference's 900x900 T1 domain):
+        # the padded chain samples an equivalent trajectory on the true
+        # domain (utils.domain.pad_chain — bitwise on CPU; on TPU the
+        # padded shape retiles the loss reduction, so rare borderline MH
+        # accepts can flip: ~0.03% of decisions in the verify drive);
+        # traces/results are returned unpadded, state arrays stay padded
+        # (use ``self.unpad``).
+        # auto_pad: True pads when the fused path would otherwise be lost
+        # (TPU + impl='auto'); "force" pads whenever the grid is unaligned
+        # (any platform — the test hook); False never pads.
+        pad_fail_reason = None
+        if auto_pad and not self.is_sgs and mesh is None:
+            from ..utils.domain import aligned_shape, pad_chain
+
+            H, W = self._true_hw
+            wants = (auto_pad == "force"
+                     or (impl == "auto"
+                         and jax.devices()[0].platform == "tpu"))
+            if wants and aligned_shape(H, W) != (H, W):
+                try:
+                    self.chain, self._true_hw = pad_chain(chain)
+                    self.padded = True
+                    import warnings
+
+                    Hp, Wp = np.asarray(self.chain.xx).shape
+                    warnings.warn(
+                        f"grid {H}x{W} auto-padded to {Hp}x{Wp} for the "
+                        "fused kernel (inert pad cells; equivalent "
+                        "trajectories on the true domain). Trace beds are "
+                        "returned unpadded; raw state arrays are padded — "
+                        "slice with sampler.unpad(...).", stacklevel=2)
+                except ValueError as e:
+                    pad_fail_reason = str(e)
+        self.static, consts = self.chain.build()
         self.consts = replicate(consts, mesh) if mesh is not None else consts
         if impl == "auto":
             # the fused Pallas path needs a real TPU, a single device (the
@@ -174,12 +211,15 @@ class MultiChainSampler:
             if eligible and not geom_ok:
                 import warnings
 
+                why = (f" (auto-padding not applicable: {pad_fail_reason})"
+                       if pad_fail_reason else
+                       " Pad the domain with mcmc_tpu.utils.pad_domain to "
+                       "enable the fused kernel.")
                 warnings.warn(
                     f"grid {self.static.H}x{self.static.W} is not "
                     "DMA-alignable (needs H % 8 == 0 and W % 128 == 0); "
-                    "falling back to the ~6x slower vmapped XLA step. "
-                    "Pad the domain with mcmc_tpu.utils.pad_domain to "
-                    "enable the fused kernel.", stacklevel=2)
+                    "falling back to the ~6x slower vmapped XLA step."
+                    + why, stacklevel=2)
             elif eligible and not chunk_ok:
                 import warnings
 
@@ -195,6 +235,13 @@ class MultiChainSampler:
         self.impl = "xla" if self.is_sgs else impl
 
     # -- state management ---------------------------------------------------
+
+    def unpad(self, a):
+        """Slice ``(..., Hp, Wp)`` arrays back to the true ``(H, W)`` domain
+        (identity when no auto-padding occurred)."""
+        H, W = self._true_hw
+        a = np.asarray(a)
+        return a[..., :H, :W] if a.shape[-2:] != (H, W) else a
 
     def init(self, initial_beds=None, seeds=None) -> ChainState:
         """Batched initial states.
@@ -215,6 +262,14 @@ class MultiChainSampler:
             # per-chain full-space beds are preprocessed like the builder's
             initial_beds = self._preprocess_sgs_beds(initial_beds)
         initial_beds = np.asarray(initial_beds, np.float32)
+        if self.padded and initial_beds.shape[-2:] == self._true_hw:
+            # caller passed true-domain beds; continue them into the pad
+            ph = self.static.H - self._true_hw[0]
+            pw = self.static.W - self._true_hw[1]
+            nd = initial_beds.ndim
+            initial_beds = np.pad(
+                initial_beds, [(0, 0)] * (nd - 2) + [(0, ph), (0, pw)],
+                mode="edge")
         shared_2d = initial_beds.ndim == 2
         if not shared_2d and initial_beds.shape[0] != self.n_chains:
             raise ValueError("initial_beds leading dim must equal n_chains")
@@ -370,7 +425,7 @@ class MultiChainSampler:
             collected.append(traces_np)
             if collect_beds:
                 bed = states.bed + self.consts.trend if self.is_sgs else states.bed
-                bed_snaps.append(np.asarray(bed))
+                bed_snaps.append(self.unpad(np.asarray(bed)))
             remaining -= n
             done += n
             seg_index += 1

@@ -25,13 +25,38 @@ from __future__ import annotations
 
 import numpy as np
 
-# pad rules by constructor-argument name (ChainCRF/ChainSGS signature)
+# pad rules by plane name — both the chain-constructor names used by
+# ``pad_domain`` and the configured-chain attribute names used by
+# ``pad_chain``
 _COORD_X = ("xx",)
 _COORD_Y = ("yy",)
-_ZERO = ("region", "update_region", "data_mask", "dhdt", "smb")
+_ZERO = ("region", "update_region", "data_mask", "dhdt", "smb",
+         "region_mask", "mc_region_mask", "data_region_mask",
+         "crf_data_weight")
 _NAN = ("cond_bed",)
 # everything else (surf, velx, vely, initial_bed, grounded, trend, ...)
 # edge-replicates
+
+
+def _pad_plane(name, a, ph: int, pw: int, res: float):
+    a = np.asarray(a)
+    if a.ndim != 2:
+        return a  # scalars / non-grid entries pass through
+    if name in _COORD_X:
+        # x increases along columns; continue the ramp east, copy rows
+        cols = a[:, -1:] + res * np.arange(1, pw + 1)[None, :]
+        a = np.concatenate([a, cols.astype(a.dtype)], axis=1)
+        return np.pad(a, ((0, ph), (0, 0)), mode="edge")
+    if name in _COORD_Y:
+        rows = a[-1:, :] + res * np.arange(1, ph + 1)[:, None]
+        a = np.concatenate([a, rows.astype(a.dtype)], axis=0)
+        return np.pad(a, ((0, 0), (0, pw)), mode="edge")
+    if name in _ZERO:
+        return np.pad(a, ((0, ph), (0, pw)), constant_values=0)
+    if name in _NAN:
+        return np.pad(a.astype(float), ((0, ph), (0, pw)),
+                      constant_values=np.nan).astype(a.dtype)
+    return np.pad(a, ((0, ph), (0, pw)), mode="edge")
 
 
 def aligned_shape(H: int, W: int) -> tuple[int, int]:
@@ -59,29 +84,56 @@ def pad_domain(planes: dict, resolution: float):
     ph, pw = Hp - H, Wp - W
     res = float(resolution)
 
-    def _pad(name, a):
-        a = np.asarray(a)
-        if a.ndim != 2:
-            return a  # scalars / non-grid entries pass through
-        if name in _COORD_X:
-            # x increases along columns; continue the ramp east, copy rows
-            cols = a[:, -1:] + res * np.arange(1, pw + 1)[None, :]
-            a = np.concatenate([a, cols.astype(a.dtype)], axis=1)
-            return np.pad(a, ((0, ph), (0, 0)), mode="edge")
-        if name in _COORD_Y:
-            rows = a[-1:, :] + res * np.arange(1, ph + 1)[:, None]
-            a = np.concatenate([a, rows.astype(a.dtype)], axis=0)
-            return np.pad(a, ((0, 0), (0, pw)), mode="edge")
-        if name in _ZERO:
-            return np.pad(a, ((0, ph), (0, pw)), constant_values=0)
-        if name in _NAN:
-            return np.pad(a.astype(float), ((0, ph), (0, pw)),
-                          constant_values=np.nan).astype(a.dtype)
-        return np.pad(a, ((0, ph), (0, pw)), mode="edge")
-
-    padded = {k: _pad(k, v) for k, v in planes.items()}
+    padded = {k: _pad_plane(k, v, ph, pw, res) for k, v in planes.items()}
 
     def unpad(a):
         return np.asarray(a)[..., :H, :W]
 
     return padded, unpad
+
+
+def pad_chain(chain):
+    """Pad a CONFIGURED ``ChainCRF``'s grid planes to the aligned shape.
+
+    Returns ``(padded_chain, (H, W))``: a rebuilt chain whose planes are
+    (Hp, Wp) with inert pad values (attribute-name rules above), plus the
+    true domain shape for slicing results back.  On the true domain the
+    padded chain samples the trajectory of the unpadded one
+    (tests/test_domain_padding.py; bitwise on CPU — on TPU the padded
+    shape retiles the loss reduction, so rare last-ulp loss differences
+    can flip borderline MH accepts, ~0.03% of decisions in the verify
+    drive) PROVIDED the update region and the
+    mc-loss region stay off the east/south boundary — padding there would
+    turn boundary cells' one-sided gradient stencils into central ones
+    inside the loss — so this raises ValueError when either mask touches
+    the last row/column (callers fall back to the XLA path).  SGS chains
+    have no fused path and are also rejected.
+
+    Aligned grids return ``(chain, (H, W))`` unchanged.
+    """
+    if type(chain).__name__ == "ChainSGS":
+        raise ValueError("pad_chain applies to ChainCRF only (the SGS "
+                         "family has no fused-kernel path to align for)")
+    H, W = np.asarray(chain.xx).shape
+    Hp, Wp = aligned_shape(H, W)
+    if (Hp, Wp) == (H, W):
+        return chain, (H, W)
+    for name in ("region_mask", "mc_region_mask"):
+        m = np.asarray(getattr(chain, name))
+        if m[-1, :].any() or m[:, -1].any():
+            raise ValueError(
+                f"{name} touches the east/south boundary: alignment "
+                "padding would change the boundary gradient stencils "
+                "inside the loss, so the padded chain would not reproduce "
+                "the unpadded trajectory")
+    from ..drivers import chain_from_snapshot, chain_snapshot
+
+    snap = chain_snapshot(chain)
+    ph, pw = Hp - H, Wp - W
+    res = float(chain.resolution)
+    for k, v in snap.items():
+        if isinstance(v, np.ndarray) and v.ndim == 2 and v.shape == (H, W):
+            snap[k] = _pad_plane(k, v, ph, pw, res)
+    padded = chain_from_snapshot(snap)
+    padded._key = getattr(chain, "_key", None)
+    return padded, (H, W)

@@ -107,18 +107,121 @@ class TestPaddedDynamicsEquivalence:
             rtol=5e-5, atol=1e-3)
 
 
-def test_sampler_warns_on_unalignable_grid(monkeypatch):
-    """impl='auto' on an unalignable grid must warn and fall back (the
-    warning path is platform-gated; fake the TPU platform check)."""
+class FakeDev:
+    platform = "tpu"
+
+
+def test_sampler_auto_pads_unaligned_grid(monkeypatch):
+    """impl='auto' on an unaligned grid now pads transparently and keeps
+    the fused path (platform check faked)."""
     from mcmc_tpu.parallel import sampler as sampler_mod
 
     p = make_synthetic_problem(H=H, W=W)
     chain = build_small_chain(p)
 
-    class FakeDev:
-        platform = "tpu"
-
     monkeypatch.setattr(sampler_mod.jax, "devices", lambda *a: [FakeDev()])
-    with pytest.warns(UserWarning, match="pad_domain"):
+    with pytest.warns(UserWarning, match="auto-padded"):
         s = sampler_mod.MultiChainSampler(chain, n_chains=4, use_mesh=False)
-    assert s.impl == "xla"
+    assert s.padded and s.impl == "fused"
+    assert (s.static.H, s.static.W) == aligned_shape(H, W)
+    assert s._true_hw == (H, W)
+
+
+def test_sampler_warns_on_unalignable_grid(monkeypatch):
+    """With auto_pad off (or not applicable) the unaligned grid must warn
+    and fall back to the XLA path."""
+    from mcmc_tpu.parallel import sampler as sampler_mod
+
+    p = make_synthetic_problem(H=H, W=W)
+    monkeypatch.setattr(sampler_mod.jax, "devices", lambda *a: [FakeDev()])
+
+    with pytest.warns(UserWarning, match="pad_domain"):
+        s = sampler_mod.MultiChainSampler(build_small_chain(p), n_chains=4,
+                                          use_mesh=False, auto_pad=False)
+    assert s.impl == "xla" and not s.padded
+
+    # update region touching the boundary: auto-pad must refuse (padding
+    # would change boundary gradient stencils) and say why
+    chain = build_small_chain(p)
+    chain.set_update_region(True, np.ones((H, W), np.float32))
+    chain.set_loss_type(sigma_mc=5.0, massConvInRegion=True)
+    with pytest.warns(UserWarning, match="auto-padding not applicable"):
+        s = sampler_mod.MultiChainSampler(chain, n_chains=4, use_mesh=False)
+    assert s.impl == "xla" and not s.padded
+
+
+class TestPadChain:
+    def test_rules_and_rejections(self):
+        from mcmc_tpu.utils.domain import pad_chain
+
+        p = make_synthetic_problem(H=H, W=W)
+        chain = build_small_chain(p)
+        padded, hw = pad_chain(chain)
+        assert hw == (H, W)
+        Hp, Wp = aligned_shape(H, W)
+        assert padded.xx.shape == (Hp, Wp)
+        # masks inert in the pad; conditioning data absent; coords ramp on
+        assert padded.region_mask[:, W:].sum() == 0
+        assert padded.region_mask[H:, :].sum() == 0
+        assert padded.mc_region_mask[:, W:].sum() == 0
+        assert not padded.data_mask[H:, :].any()
+        assert np.isnan(padded.cond_bed[:, W:]).all()
+        np.testing.assert_allclose(np.diff(padded.xx[0]), p["resolution"])
+        np.testing.assert_allclose(np.diff(padded.yy[:, 0]), p["resolution"])
+        np.testing.assert_array_equal(
+            padded.surf[:H, W:], np.repeat(p["surf"][:, -1:].astype(np.float32),
+                                           Wp - W, axis=1))
+
+        # aligned grid: identity
+        p2 = make_synthetic_problem(H=64, W=128)
+        c2 = build_small_chain(p2)
+        same, _ = pad_chain(c2)
+        assert same is c2
+
+        # boundary-touching region: rejected
+        c3 = build_small_chain(p)
+        c3.set_update_region(True, np.ones((H, W), np.float32))
+        c3.set_loss_type(sigma_mc=5.0, massConvInRegion=True)
+        with pytest.raises(ValueError, match="boundary"):
+            pad_chain(c3)
+
+        # SGS chains: rejected (no fused path)
+        from tests.test_chain_sgs import build_sgs_chain
+
+        p4 = make_synthetic_problem(H=64, W=64)
+        with pytest.raises(ValueError, match="ChainCRF only"):
+            pad_chain(build_sgs_chain(p4))
+
+    def test_forced_auto_pad_matches_unpadded_sampler(self):
+        """Sampler-level equivalence: an auto-padded ('force', CPU) run
+        must reproduce the unpadded run's trajectory and return true-domain
+        bed arrays everywhere a user sees beds."""
+        from mcmc_tpu.parallel.sampler import MultiChainSampler
+
+        p = make_synthetic_problem(H=H, W=W)
+        beds = np.stack([p["initial_bed"]] * 4).astype(np.float32)
+
+        s_ref = MultiChainSampler(build_small_chain(p), n_chains=4,
+                                  use_mesh=False, auto_pad=False)
+        with pytest.warns(UserWarning, match="auto-padded"):
+            s_pad = MultiChainSampler(build_small_chain(p), n_chains=4,
+                                      use_mesh=False, auto_pad="force")
+        assert s_pad.padded and s_pad.impl == "xla"
+        assert (s_pad.static.H, s_pad.static.W) == aligned_shape(H, W)
+
+        st_r = s_ref.init(initial_beds=beds, seeds=3)
+        st_p = s_pad.init(initial_beds=beds, seeds=3)
+        assert st_p.bed.shape[-2:] == aligned_shape(H, W)
+        st_r, tr_r = s_ref.run(st_r, 30, segment_size=15, progress=False,
+                               collect_beds=True)
+        st_p, tr_p = s_pad.run(st_p, 30, segment_size=15, progress=False,
+                               collect_beds=True)
+        np.testing.assert_array_equal(tr_r["step"], tr_p["step"])
+        np.testing.assert_allclose(tr_r["loss"], tr_p["loss"], rtol=1e-5)
+        # collected bed snapshots come back on the true domain
+        assert tr_p["bed_thin"].shape[-2:] == (H, W)
+        np.testing.assert_allclose(tr_p["bed_thin"], tr_r["bed_thin"],
+                                   rtol=5e-5, atol=1e-3)
+        np.testing.assert_allclose(s_pad.unpad(st_p.bed),
+                                   np.asarray(st_r.bed),
+                                   rtol=5e-5, atol=1e-3)
