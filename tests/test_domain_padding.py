@@ -225,3 +225,32 @@ class TestPadChain:
         np.testing.assert_allclose(s_pad.unpad(st_p.bed),
                                    np.asarray(st_r.bed),
                                    rtol=5e-5, atol=1e-3)
+
+
+def test_autopad_checkpoint_resume_bitwise(tmp_path):
+    """Checkpoint/resume with an auto-padded sampler: the resumed run must
+    continue bitwise (saved state is padded-shape; a fresh sampler re-pads
+    the same chain config to the same shape)."""
+    from mcmc_tpu.io import run_with_checkpointing
+    from mcmc_tpu.parallel.sampler import MultiChainSampler
+
+    p = make_synthetic_problem(H=H, W=W)
+
+    def make():
+        with pytest.warns(UserWarning, match="auto-padded"):
+            return MultiChainSampler(build_small_chain(p), n_chains=2,
+                                     use_mesh=False, auto_pad="force")
+
+    s1 = make()
+    st = s1.init(seeds=9)
+    _, full = s1.run(st, n_iter=40, segment_size=20, progress=False)
+
+    d = tmp_path / "ck"
+    _, h1, c1 = run_with_checkpointing(make(), 20, d, seeds=9,
+                                       segment_size=20)
+    assert c1 == 20
+    _, h2, c2 = run_with_checkpointing(make(), 40, d, seeds=9,
+                                       segment_size=20)
+    assert c2 == 40
+    np.testing.assert_array_equal(h2["loss"], full["loss"])
+    np.testing.assert_array_equal(h2["step"], full["step"])
