@@ -439,6 +439,18 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
     ck = mgr.load()
     if ck is not None:
         done, states, histories, _ = ck
+        exp = (int(sampler.static.H), int(sampler.static.W))
+        got = tuple(np.asarray(states.bed).shape[-2:])
+        if got != exp:
+            raise ValueError(
+                f"checkpoint state grid {got} != sampler grid {exp}: the "
+                "checkpoint was saved under a different domain padding "
+                "(e.g. an auto-padded TPU run resumed on a platform where "
+                "auto-padding does not trigger, or vice versa). Rebuild "
+                "the sampler with the same padding — "
+                "MultiChainSampler(..., auto_pad='force') to re-pad, or "
+                "auto_pad=False for an unpadded checkpoint — so resumed "
+                "trajectories continue the saved ones exactly.")
         if getattr(sampler, "mesh", None) is not None:
             # loaded states are full host arrays; restore the chains-axis
             # placement so a resumed run keeps the sharded layout instead
@@ -488,7 +500,11 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
             histories.clear()
             histories.update(merged)
             box["segments"] = []
-        mgr.save(box["rows"], states_)
+        mgr.save(box["rows"], states_, meta={
+            "grid_hw": [int(sampler.static.H), int(sampler.static.W)],
+            "true_hw": list(getattr(sampler, "_true_hw",
+                                    (sampler.static.H, sampler.static.W))),
+            "padded": bool(getattr(sampler, "padded", False))})
         box["saved_rows"] = box["rows"]
 
     def cb(_local, states_, traces_np):

@@ -932,7 +932,7 @@ class ChainCRF:
         ``save_beds``/``seed`` keyword-only so reference-style positional
         calls cannot misbind.  DEFAULTS intentionally diverge from the
         reference (MCMC.py:1137: only_save_last_bed=False, plot=True,
-        progress_bar=True, info_per_iter=100): here the defaults are the
+        progress_bar=True, info_per_iter=1000): here the defaults are the
         reference's *production-driver* settings
         (largeScaleChain_multiprocessing.py:188-195) — callers porting
         notebook-style scripts that rely on per-iteration bed history or

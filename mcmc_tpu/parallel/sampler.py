@@ -155,6 +155,7 @@ class MultiChainSampler:
             usable = max(d for d in range(1, n_dev + 1) if self.n_chains % d == 0)
             mesh = chains_mesh(usable)
         self.mesh = mesh
+        self.static, consts = self.chain.build()
         # transparent alignment padding for the fused path (CRF, single
         # device, unaligned grid — e.g. the reference's 900x900 T1 domain):
         # the padded chain samples an equivalent trajectory on the true
@@ -164,23 +165,32 @@ class MultiChainSampler:
         # traces/results are returned unpadded, state arrays stay padded
         # (use ``self.unpad``).
         # auto_pad: True pads when the fused path would otherwise be lost
-        # (TPU + impl='auto'); "force" pads whenever the grid is unaligned
-        # (any platform — the test hook); False never pads.
+        # (TPU + impl='auto'); "force" pads whenever the fused geometry
+        # check fails (any platform — the test hook); False never pads.
+        # Gate on the REAL dispatch predicates, not mere alignment: grids
+        # already served by full-dimension windows must not be enlarged,
+        # and chain counts the fused path can't chunk anyway gain nothing
+        # from padding (they'd run the XLA fallback on a bigger grid).
         pad_fail_reason = None
         if auto_pad and not self.is_sgs and mesh is None:
-            from ..utils.domain import aligned_shape, pad_chain
+            from ..models.chain_crf import fused_chunk_count
+            from ..ops.window_kernel import fused_path_supported
+            from ..utils.domain import pad_chain
 
             H, W = self._true_hw
             wants = (auto_pad == "force"
                      or (impl == "auto"
                          and jax.devices()[0].platform == "tpu"))
-            if wants and aligned_shape(H, W) != (H, W):
+            if (wants
+                    and not fused_path_supported(H, W, self.static.rf.B)
+                    and fused_chunk_count(self.n_chains) > 0):
                 try:
                     self.chain, self._true_hw = pad_chain(chain)
                     self.padded = True
+                    self.static, consts = self.chain.build()
                     import warnings
 
-                    Hp, Wp = np.asarray(self.chain.xx).shape
+                    Hp, Wp = self.static.H, self.static.W
                     warnings.warn(
                         f"grid {H}x{W} auto-padded to {Hp}x{Wp} for the "
                         "fused kernel (inert pad cells; equivalent "
@@ -189,7 +199,6 @@ class MultiChainSampler:
                         "slice with sampler.unpad(...).", stacklevel=2)
                 except ValueError as e:
                     pad_fail_reason = str(e)
-        self.static, consts = self.chain.build()
         self.consts = replicate(consts, mesh) if mesh is not None else consts
         if impl == "auto":
             # the fused Pallas path needs a real TPU, a single device (the
@@ -208,19 +217,7 @@ class MultiChainSampler:
             # the ceiling can't chunk
             chunk_ok = fused_chunk_count(self.n_chains) > 0
             impl = "fused" if eligible and geom_ok and chunk_ok else "xla"
-            if eligible and not geom_ok:
-                import warnings
-
-                why = (f" (auto-padding not applicable: {pad_fail_reason})"
-                       if pad_fail_reason else
-                       " Pad the domain with mcmc_tpu.utils.pad_domain to "
-                       "enable the fused kernel.")
-                warnings.warn(
-                    f"grid {self.static.H}x{self.static.W} is not "
-                    "DMA-alignable (needs H % 8 == 0 and W % 128 == 0); "
-                    "falling back to the ~6x slower vmapped XLA step."
-                    + why, stacklevel=2)
-            elif eligible and not chunk_ok:
+            if eligible and not chunk_ok:
                 import warnings
 
                 from ..models.chain_crf import FUSED_MAX_CHAINS
@@ -232,16 +229,40 @@ class MultiChainSampler:
                     f"a chain count divisible into such chunks (e.g. a "
                     f"multiple of {FUSED_MAX_CHAINS} up to "
                     f"{16 * FUSED_MAX_CHAINS}).", stacklevel=2)
+            elif eligible and not geom_ok:
+                import warnings
+
+                why = (f" (auto-padding not applicable: {pad_fail_reason})"
+                       if pad_fail_reason else
+                       " Pad the domain with mcmc_tpu.utils.pad_domain to "
+                       "enable the fused kernel.")
+                warnings.warn(
+                    f"grid {self.static.H}x{self.static.W} does not fit "
+                    "the fused kernel's aligned-window geometry; falling "
+                    "back to the ~6x slower vmapped XLA step."
+                    + why, stacklevel=2)
         self.impl = "xla" if self.is_sgs else impl
 
     # -- state management ---------------------------------------------------
 
     def unpad(self, a):
-        """Slice ``(..., Hp, Wp)`` arrays back to the true ``(H, W)`` domain
-        (identity when no auto-padding occurred)."""
+        """Slice ``(..., Hp, Wp)`` grid arrays back to the true ``(H, W)``
+        domain (identity when no auto-padding occurred, or when ``a`` is
+        already true-domain).  Raises on arrays whose trailing dims are
+        neither — non-grid traces must not be silently truncated."""
         H, W = self._true_hw
         a = np.asarray(a)
-        return a[..., :H, :W] if a.shape[-2:] != (H, W) else a
+        if a.ndim >= 2 and a.shape[-2:] == (H, W):
+            return a
+        if (self.padded and a.ndim >= 2
+                and a.shape[-2:] == (self.static.H, self.static.W)):
+            return a[..., :H, :W]
+        raise ValueError(
+            f"unpad expects trailing grid dims {(H, W)}"
+            + (f" or padded {(self.static.H, self.static.W)}"
+               if self.padded else "")
+            + f"; got shape {a.shape} — only (..., H, W) grid arrays "
+            "(beds, masks, residuals) can be unpadded")
 
     def init(self, initial_beds=None, seeds=None) -> ChainState:
         """Batched initial states.
@@ -354,8 +375,14 @@ class MultiChainSampler:
     # -- execution ----------------------------------------------------------
 
     def run_segment(self, states: ChainState, n_steps: int, save_beds=False):
-        return run_chains(self.static, self.consts, states, int(n_steps),
-                          bool(save_beds), self.impl)
+        states, traces = run_chains(self.static, self.consts, states,
+                                    int(n_steps), bool(save_beds), self.impl)
+        if self.padded and "bed" in traces:
+            # trace beds come back on the true domain (device-side slice);
+            # state arrays stay padded
+            H, W = self._true_hw
+            traces = dict(traces, bed=traces["bed"][..., :H, :W])
+        return states, traces
 
     def run(self, states: ChainState, n_iter: int, segment_size: int = 2000,
             progress: bool = True,

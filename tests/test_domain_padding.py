@@ -254,3 +254,97 @@ def test_autopad_checkpoint_resume_bitwise(tmp_path):
     assert c2 == 40
     np.testing.assert_array_equal(h2["loss"], full["loss"])
     np.testing.assert_array_equal(h2["step"], full["step"])
+
+
+class TestAutoPadGating:
+    """Auto-pad must key off the REAL fused-dispatch predicates, not mere
+    (H%8, W%128) alignment (code-review findings, round 3)."""
+
+    def test_full_dim_windows_not_padded(self, monkeypatch):
+        """An unaligned grid already served by full-dimension fused windows
+        (SX==H and SY==W) must NOT be enlarged."""
+        from mcmc_tpu.ops.window_kernel import fused_path_supported
+        from mcmc_tpu.parallel import sampler as sampler_mod
+
+        p = make_synthetic_problem(H=100, W=100)
+        chain = build_small_chain(p, blocks=(80, 84))
+        monkeypatch.setattr(sampler_mod.jax, "devices",
+                            lambda *a: [FakeDev()])
+        s = sampler_mod.MultiChainSampler(chain, n_chains=4, use_mesh=False)
+        assert fused_path_supported(100, 100, s.static.rf.B)  # precondition
+        assert not s.padded
+        assert (s.static.H, s.static.W) == (100, 100)
+        assert s.impl == "fused"
+
+    def test_unchunkable_chain_count_not_padded(self, monkeypatch):
+        """A chain count the fused path can't chunk gains nothing from
+        padding — the grid must stay unpadded and the XLA fallback warn
+        about the chain count, not the geometry."""
+        from mcmc_tpu.parallel import sampler as sampler_mod
+
+        p = make_synthetic_problem(H=H, W=W)
+        chain = build_small_chain(p)
+        monkeypatch.setattr(sampler_mod.jax, "devices",
+                            lambda *a: [FakeDev()])
+        with pytest.warns(UserWarning, match="no equal split"):
+            s = sampler_mod.MultiChainSampler(chain, n_chains=389,
+                                              use_mesh=False)
+        assert not s.padded and s.impl == "xla"
+        assert (s.static.H, s.static.W) == (H, W)
+
+    def test_unpad_rejects_non_grid_arrays(self):
+        from mcmc_tpu.parallel.sampler import MultiChainSampler
+
+        p = make_synthetic_problem(H=H, W=W)
+        with pytest.warns(UserWarning, match="auto-padded"):
+            s = MultiChainSampler(build_small_chain(p), n_chains=2,
+                                  use_mesh=False, auto_pad="force")
+        Hp, Wp = aligned_shape(H, W)
+        assert s.unpad(np.zeros((2, Hp, Wp))).shape == (2, H, W)
+        assert s.unpad(np.zeros((H, W))).shape == (H, W)  # identity
+        with pytest.raises(ValueError, match="grid"):
+            s.unpad(np.zeros((2, 30, 4)))  # chain-major non-grid trace
+        with pytest.raises(ValueError):
+            s.unpad(np.zeros(7))
+
+    def test_run_segment_save_beds_true_domain(self):
+        from mcmc_tpu.parallel.sampler import MultiChainSampler
+
+        p = make_synthetic_problem(H=H, W=W)
+        with pytest.warns(UserWarning, match="auto-padded"):
+            s = MultiChainSampler(build_small_chain(p), n_chains=2,
+                                  use_mesh=False, auto_pad="force")
+        st = s.init(seeds=1)
+        _, traces = s.run_segment(st, 3, save_beds=True)
+        assert np.asarray(traces["bed"]).shape[-2:] == (H, W)
+
+    def test_resume_padding_mismatch_raises(self, tmp_path):
+        from mcmc_tpu.io import run_with_checkpointing
+        from mcmc_tpu.parallel.sampler import MultiChainSampler
+
+        p = make_synthetic_problem(H=H, W=W)
+        with pytest.warns(UserWarning, match="auto-padded"):
+            s_pad = MultiChainSampler(build_small_chain(p), n_chains=2,
+                                      use_mesh=False, auto_pad="force")
+        d = tmp_path / "ck"
+        run_with_checkpointing(s_pad, 10, d, seeds=1, segment_size=10)
+        s_plain = MultiChainSampler(build_small_chain(p), n_chains=2,
+                                    use_mesh=False, auto_pad=False)
+        with pytest.raises(ValueError, match="different domain padding"):
+            run_with_checkpointing(s_plain, 20, d, seeds=1, segment_size=10)
+
+
+def test_virtual_device_flag_keeps_larger_count():
+    import __graft_entry__ as g
+
+    env = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8 --foo"}
+    g._set_virtual_device_flag(env, 2)
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert "--foo" in env["XLA_FLAGS"]
+    env2 = {}
+    g._set_virtual_device_flag(env2, 4)
+    assert env2["XLA_FLAGS"].strip() == \
+        "--xla_force_host_platform_device_count=4"
+    env3 = {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    g._set_virtual_device_flag(env3, 8)
+    assert "--xla_force_host_platform_device_count=8" in env3["XLA_FLAGS"]
