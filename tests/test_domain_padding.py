@@ -348,3 +348,37 @@ def test_virtual_device_flag_keeps_larger_count():
     env3 = {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
     g._set_virtual_device_flag(env3, 8)
     assert "--xla_force_host_platform_device_count=8" in env3["XLA_FLAGS"]
+
+
+def test_padded_equivalence_with_data_loss():
+    """Padding must stay inert when the Gaussian radar-misfit data term is
+    active: data_mask zero-pads and cond_bed NaN-pads, so pad cells add
+    nothing to loss_data and the padded trajectory matches unpadded."""
+    from mcmc_tpu.parallel.sampler import MultiChainSampler
+
+    p = make_synthetic_problem(H=H, W=W)
+
+    def make(auto):
+        chain = build_small_chain(p, block_type="CRF_weight")
+        chain.set_loss_type(sigma_mc=5.0, massConvInRegion=True,
+                            diff_func="sumsquare", sigma_data=30.0)
+        chain.set_crf_data_weight()
+        if auto:
+            with pytest.warns(UserWarning, match="auto-padded"):
+                return MultiChainSampler(chain, n_chains=3, use_mesh=False,
+                                         auto_pad="force")
+        return MultiChainSampler(chain, n_chains=3, use_mesh=False,
+                                 auto_pad=False)
+
+    s_ref, s_pad = make(False), make(True)
+    assert s_pad.padded
+    st_r = s_ref.init(seeds=5)
+    st_p = s_pad.init(seeds=5)
+    st_r, tr_r = s_ref.run(st_r, 25, segment_size=25, progress=False)
+    st_p, tr_p = s_pad.run(st_p, 25, segment_size=25, progress=False)
+    np.testing.assert_array_equal(tr_r["step"], tr_p["step"])
+    np.testing.assert_allclose(tr_r["loss_data"], tr_p["loss_data"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(tr_r["loss"], tr_p["loss"], rtol=1e-5)
+    np.testing.assert_allclose(s_pad.unpad(st_p.bed), np.asarray(st_r.bed),
+                               rtol=5e-5, atol=1e-3)
