@@ -24,7 +24,6 @@ only possible for the earliest path cells on very sparse data.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +93,52 @@ def _make_cell_kernel(spec, ktype, num_points, half_window):
     return cell
 
 
+def _prepare(xx, grid, variogram, sim_mask, num_points, ktype, half_window):
+    """Shared sgs()/krige() preprocessing: normal-score setup, target-cell
+    list, and the jitted per-chunk solve/scatter programs.
+
+    The window is clamped to the grid (WN <= min(H, W)) so small grids
+    work with the default half_window.  All per-chunk device work is
+    jitted — eager jnp ops cost seconds each on the tunneled TPU backend
+    (CLAUDE.md), and the chunk loop would otherwise issue thousands of
+    them; the normal-score transforms run host-side (transform_np).
+    """
+    _check_vario(variogram)
+    grid = np.asarray(grid, float)
+    H, W = grid.shape
+    res = float(abs(np.asarray(xx)[0, 1] - np.asarray(xx)[0, 0]))
+
+    cond_msk = ~np.isnan(grid)
+    data = grid[cond_msk]
+    nst = NormalScoreTransform.fit(data, n_quantiles=min(500, data.size))
+    z0 = np.where(cond_msk, np.nan_to_num(grid), 0.0)
+    z0 = np.asarray(nst.transform_np(z0))
+    z0 = np.where(cond_msk, z0, 0.0)
+    global_mean = float(z0[cond_msk].mean())
+
+    if sim_mask is None:
+        sim_mask = np.ones((H, W), bool)
+    cells = np.argwhere(np.asarray(sim_mask, bool) & ~cond_msk)
+
+    hw = min(int(half_window), (min(H, W) - 1) // 2)
+    spec = _vario_to_spec(variogram)
+    rot = jnp.asarray(make_rotation_matrix(
+        variogram["azimuth"], variogram["major_range"],
+        variogram["minor_range"]), jnp.float32)
+    cell = _make_cell_kernel(spec, ktype, int(num_points), hw)
+    batch_cell = jax.jit(jax.vmap(cell, in_axes=(None, None, 0, 0, None,
+                                                 None, None, None, None,
+                                                 None)))
+
+    @jax.jit
+    def scatter(zg, cm, ii, jj, draws):
+        return zg.at[ii, jj].set(draws), cm.at[ii, jj].set(True)
+
+    return dict(grid=grid, H=H, W=W, res=res, cond_msk=cond_msk, nst=nst,
+                z0=z0, global_mean=global_mean, cells=cells, rot=rot,
+                batch_cell=batch_cell, scatter=scatter)
+
+
 def sgs(xx, yy, grid, variogram, radius=100e3, num_points=20, ktype="ok",
         sim_mask=None, quiet=True, stencil=None, rcond=None, bounds=None,
         seed=None, chunk=64, half_window=40):
@@ -105,27 +150,14 @@ def sgs(xx, yy, grid, variogram, radius=100e3, num_points=20, ktype="ok",
     below the ice surface (interpolate.py:176-187).
     Returns the simulated 2D array in data units.
     """
-    _check_vario(variogram)
-    grid = np.asarray(grid, float)
-    H, W = grid.shape
-    res = float(abs(np.asarray(xx)[0, 1] - np.asarray(xx)[0, 0]))
-
-    cond_msk0 = ~np.isnan(grid)
-    data = grid[cond_msk0]
-    nst = NormalScoreTransform.fit(data, n_quantiles=min(500, data.size))
-    z0 = np.where(cond_msk0, np.nan_to_num(grid), 0.0)
-    z0 = np.asarray(nst.transform(z0))
-    z0 = np.where(cond_msk0, z0, 0.0)
-    global_mean = float(z0[cond_msk0].mean())
-
-    if sim_mask is None:
-        sim_mask = np.ones((H, W), bool)
-    sim_cells = np.argwhere(np.asarray(sim_mask, bool) & ~cond_msk0)
+    p = _prepare(xx, grid, variogram, sim_mask, num_points, ktype,
+                 half_window)
+    H, W, nst = p["H"], p["W"], p["nst"]
 
     key = as_key(seed)
     rng = np.random.default_rng(np.asarray(jax.random.key_data(key))[-1])
-    order = rng.permutation(sim_cells.shape[0])
-    path = sim_cells[order]
+    order = rng.permutation(p["cells"].shape[0])
+    path = p["cells"][order]
 
     # transformed bounds (lower, upper) grids, if any
     if bounds is not None:
@@ -135,37 +167,29 @@ def sgs(xx, yy, grid, variogram, radius=100e3, num_points=20, ktype="ok",
         tb = []
         for b in bounds:
             b = np.full((H, W), float(b)) if np.isscalar(b) else np.asarray(b, float)
-            if b.shape != grid.shape:
+            if b.shape != p["grid"].shape:
                 raise ValueError("bounds must have same shape as grid")
-            tb.append(np.asarray(nst.transform(b)))
+            tb.append(np.asarray(nst.transform_np(b)))
         lo_b, hi_b = tb
     else:
         lo_b = hi_b = None
 
-    spec = _vario_to_spec(variogram)
-    rot = jnp.asarray(make_rotation_matrix(
-        variogram["azimuth"], variogram["major_range"],
-        variogram["minor_range"]), jnp.float32)
-    cell = _make_cell_kernel(spec, ktype, int(num_points), int(half_window))
-    batch_cell = jax.jit(jax.vmap(cell, in_axes=(None, None, 0, 0, None,
-                                                 None, None, None, None,
-                                                 None)))
-
-    zg = jnp.asarray(z0, jnp.float32)
-    cm = jnp.asarray(cond_msk0)
+    batch_cell, scatter, rot = p["batch_cell"], p["scatter"], p["rot"]
+    zg = jnp.asarray(p["z0"], jnp.float32)
+    cm = jnp.asarray(p["cond_msk"])
     sill = jnp.float32(variogram["sill"])
     nug = jnp.float32(variogram["nugget"])
     radius_j = jnp.float32(radius)
-    gm = jnp.float32(global_mean)
-    res_j = jnp.float32(res)
+    gm = jnp.float32(p["global_mean"])
+    res_j = jnp.float32(p["res"])
 
     n = path.shape[0]
     for start in range(0, n, chunk):
         cells = path[start: start + chunk]
         ii = jnp.asarray(cells[:, 0], jnp.int32)
         jj = jnp.asarray(cells[:, 1], jnp.int32)
-        est, var = batch_cell(zg, cm, ii, jj, res_j, rot, sill, nug,
-                              radius_j, gm)
+        est, var = batch_cell(zg, cm, ii, jj, res_j, rot, sill,
+                              nug, radius_j, gm)
         est = np.asarray(est, float)
         sd = np.sqrt(np.abs(np.asarray(var, float)))
         if bounds is None:
@@ -183,10 +207,9 @@ def sgs(xx, yy, grid, variogram, radius=100e3, num_points=20, ktype="ok",
             b = np.where(eq, 1.0, (hi - est) / sd_s)
             draws = np.where(eq, lo, truncnorm.rvs(
                 a, b, loc=est, scale=sd_s, random_state=rng))
-        zg = zg.at[ii, jj].set(jnp.asarray(draws, jnp.float32))
-        cm = cm.at[ii, jj].set(True)
+        zg, cm = scatter(zg, cm, ii, jj, jnp.asarray(draws, jnp.float32))
 
-    out = np.asarray(nst.inverse(np.asarray(zg)))
+    out = np.asarray(nst.inverse_np(np.asarray(zg)))
     return out.reshape(H, W)
 
 
@@ -199,49 +222,30 @@ def krige(xx, yy, grid, variogram, radius=100e3, num_points=20, ktype="ok",
     SURVEY.md §8.3); this is the working equivalent.
     Returns (mean_map, std_map) in data units.
     """
-    _check_vario(variogram)
-    grid = np.asarray(grid, float)
-    H, W = grid.shape
-    res = float(abs(np.asarray(xx)[0, 1] - np.asarray(xx)[0, 0]))
-    cond_msk = ~np.isnan(grid)
-    data = grid[cond_msk]
-    nst = NormalScoreTransform.fit(data, n_quantiles=min(500, data.size))
-    z0 = np.where(cond_msk, np.nan_to_num(grid), 0.0)
-    z0 = np.asarray(nst.transform(z0))
-    z0 = np.where(cond_msk, z0, 0.0)
-    global_mean = float(z0[cond_msk].mean())
+    p = _prepare(xx, grid, variogram, sim_mask, num_points, ktype,
+                 half_window)
+    H, W, nst, cells = p["H"], p["W"], p["nst"], p["cells"]
+    batch_cell, rot = p["batch_cell"], p["rot"]
+    zg = jnp.asarray(p["z0"], jnp.float32)
+    cm = jnp.asarray(p["cond_msk"])
 
-    if sim_mask is None:
-        sim_mask = np.ones((H, W), bool)
-    cells = np.argwhere(np.asarray(sim_mask, bool) & ~cond_msk)
-
-    spec = _vario_to_spec(variogram)
-    rot = jnp.asarray(make_rotation_matrix(
-        variogram["azimuth"], variogram["major_range"],
-        variogram["minor_range"]), jnp.float32)
-    cell = _make_cell_kernel(spec, ktype, int(num_points), int(half_window))
-    batch_cell = jax.jit(jax.vmap(cell, in_axes=(None, None, 0, 0, None,
-                                                 None, None, None, None,
-                                                 None)))
-    zg = jnp.asarray(z0, jnp.float32)
-    cm = jnp.asarray(cond_msk)
-
-    est_map = z0.copy()
+    est_map = p["z0"].copy()
     var_map = np.zeros((H, W))
     for start in range(0, cells.shape[0], chunk):
         cc = cells[start: start + chunk]
         est, var = batch_cell(zg, cm, jnp.asarray(cc[:, 0], jnp.int32),
                               jnp.asarray(cc[:, 1], jnp.int32),
-                              jnp.float32(res), rot,
+                              jnp.float32(p["res"]), rot,
                               jnp.float32(variogram["sill"]),
                               jnp.float32(variogram["nugget"]),
-                              jnp.float32(radius), jnp.float32(global_mean))
+                              jnp.float32(radius),
+                              jnp.float32(p["global_mean"]))
         est_map[cc[:, 0], cc[:, 1]] = np.asarray(est)
         var_map[cc[:, 0], cc[:, 1]] = np.asarray(var)
 
     var_map = np.where(var_map < 0, 0.0, var_map)
-    mean_out = np.asarray(nst.inverse(est_map))
-    std_out = np.asarray(nst.inverse(np.sqrt(var_map)))
+    mean_out = np.asarray(nst.inverse_np(est_map))
+    std_out = np.asarray(nst.inverse_np(np.sqrt(var_map)))
     return mean_out.reshape(H, W), std_out.reshape(H, W)
 
 

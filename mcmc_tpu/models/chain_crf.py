@@ -959,7 +959,8 @@ class ChainCRF:
             self.configure_randfield(RF.config, RF._blocks,
                                      RF._weights or self._weight_cfg)
         static, consts = self.build()
-        key = as_key(seed) if seed is not None else (self._key or as_key(None))
+        key = (as_key(seed) if seed is not None
+               else self._key if self._key is not None else as_key(None))
         state = init_state(self.initial_bed, key, consts)
         if save_beds is None:
             save_beds = not only_save_last_bed
@@ -967,6 +968,10 @@ class ChainCRF:
             lambda st, n: run_chain(static, consts, st, n, bool(save_beds)),
             state, int(n_iter), int(info_per_iter), bool(progress_bar),
             bool(plot))
+        # continue the random stream across run() calls (the reference's
+        # set_random_generator semantics: one Generator advances through
+        # successive runs, largeScaleChain_multiprocessing.py:177-204)
+        self._key = final.key
         out = {
             "bed": np.asarray(traces["bed"]) if save_beds else np.asarray(final.bed),
             "loss_mc": np.asarray(traces["loss_mc"]),

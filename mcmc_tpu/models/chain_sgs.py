@@ -370,7 +370,6 @@ def make_sgs_stages(static: SGSStatic):
         # spectrum clamping make the proposal approximately (not bitwise)
         # the conditional prior — the same approximation class as the
         # reference's octant-limited sequential SGS.
-        hi = jax.lax.Precision.HIGHEST
         # draw directly in frequency space: for proper complex white noise
         # zeta (unit-variance real+imag parts), Re(N * ifft2(sqrt(E) zeta))
         # has covariance = stamp — one inverse FFT instead of an fft2+ifft2
@@ -570,7 +569,9 @@ def make_sgs_stages(static: SGSStatic):
 
 def make_sgs_kernel(static: SGSStatic):
     """MH update core with injectable randomness:
-    (consts, state, cx, cy, bsx, bsy, noise (NE*NE [+SB*SB if nugget],),
+    (consts, state, cx, cy, bsx, bsy,
+    noise (2*NE*NE [+SB*SB if nugget],) — real then imaginary parts of
+    the frequency-domain white noise, then optional nugget draws —
     drop_u (SB,SB), u, key).  Composition of the two stages around the
     per-chain XLA solve (make_sgs_stages)."""
     prepare, solve_one, finalize = make_sgs_stages(static)
@@ -1034,7 +1035,8 @@ class ChainSGS:
         from .chain_crf import _run_segmented
 
         static, consts = self.build()
-        key = as_key(seed) if seed is not None else (self._key or as_key(None))
+        key = (as_key(seed) if seed is not None
+               else self._key if self._key is not None else as_key(None))
         state = sgs_init_state(self._initial_detrended, key, consts,
                                z0=self._initial_z,
                                use_transform=static.use_transform)
@@ -1045,6 +1047,10 @@ class ChainSGS:
                                         bool(save_beds)),
             state, int(n_iter), int(info_per_iter), bool(progress_bar),
             bool(plot))
+        # continue the random stream across run() calls (the reference's
+        # set_random_generator semantics: one Generator advances through
+        # successive runs)
+        self._key = final.key
         trend = np.asarray(consts.trend)
         out = {
             "bed": (np.asarray(traces["bed"]) if save_beds

@@ -283,28 +283,38 @@ class RandField:
         res = float(abs(np.asarray(X)[1] - np.asarray(X)[0])) if len(X) > 1 else 1.0
         shape = (len(Y), len(X))
         cfg = self.config
-        out = []
-        for _ in range(int(n)):
-            self._key, k1, k2, k3, k4 = jax.random.split(self._key, 5)
-            scale, nug, rx, ry = sample_field_params(
-                k1, cfg.scale_min, cfg.scale_max, cfg.nugget_max,
-                cfg.range_min_x, cfg.range_max_x, cfg.range_min_y,
-                cfg.range_max_y, cfg.isotropic)
-            if cfg.spectral:
-                raw = spectral_field(k2, shape, res, cfg.model_name, rx, ry,
-                                     cfg.smoothness)
-                f = standardize_masked(raw, jnp.ones(shape, bool))
-                f = f * scale + jax.random.normal(k3, shape) * jnp.sqrt(nug)
-            else:
-                from ..ops.srf import srf_field
 
-                angle = (0.0 if cfg.isotropic else float(np.asarray(
-                    jax.random.uniform(k4, (), maxval=jnp.pi))))
+        # one compiled program per (shape, config); eager jnp would pay
+        # seconds-per-op dispatch on the tunneled device and, for the SRF
+        # path, materialize the (ny, nx, n_modes) phase tensor unfused
+        if getattr(self, "_field_jit_meta", None) != (shape, res, cfg):
+            from ..ops.srf import srf_field
+
+            def _draw(k1, k2, k3, k4):
+                scale, nug, rx, ry = sample_field_params(
+                    k1, cfg.scale_min, cfg.scale_max, cfg.nugget_max,
+                    cfg.range_min_x, cfg.range_max_x, cfg.range_min_y,
+                    cfg.range_max_y, cfg.isotropic)
+                if cfg.spectral:
+                    raw = spectral_field(k2, shape, res, cfg.model_name,
+                                         rx, ry, cfg.smoothness)
+                    f = standardize_masked(raw, jnp.ones(shape, bool))
+                    return f * scale + (jax.random.normal(k3, shape)
+                                        * jnp.sqrt(nug))
+                angle = (0.0 if cfg.isotropic
+                         else jax.random.uniform(k4, (), maxval=jnp.pi))
                 raw = srf_field(k2, shape, res, cfg.model_name, rx, ry,
                                 cfg.smoothness, angle)
                 raw = raw + jax.random.normal(k3, shape) * jnp.sqrt(nug)
-                f = raw * scale
-            out.append(np.asarray(f))
+                return raw * scale
+
+            self._field_jit = jax.jit(_draw)
+            self._field_jit_meta = (shape, res, cfg)
+
+        out = []
+        for _ in range(int(n)):
+            self._key, k1, k2, k3, k4 = jax.random.split(self._key, 5)
+            out.append(np.asarray(self._field_jit(k1, k2, k3, k4)))
         return out[0] if n == 1 else np.stack(out)
 
     def get_rfblock(self):

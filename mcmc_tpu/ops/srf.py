@@ -89,8 +89,19 @@ def srf_field(key, shape, resolution, model_name: str, range_x, range_y,
               smoothness=None, angle=0.0, n_modes: int = 1000):
     """One unit-variance random field on a (ny, nx) grid.
 
-    Equivalent in law to the reference's gstools ``SRF(model).structured``
-    draw with var=1 (MCMC.py:679-682; gstools' default mode_no is 1000).
+    Same construction as the reference's gstools ``SRF(model).structured``
+    draw with var=1 (MCMC.py:679-682; randomization method, gstools'
+    default mode_no is 1000), but with the spectral measures derived from
+    the REFERENCE'S OWN covariance conventions (covariance.py:4-22:
+    exp(-3h), exp(-3h^2), matérn scale fit) so generated fields match the
+    covariances the kriging solvers use (tests/test_srf.py validates
+    variance/correlogram/anisotropy against ops.covariance).  gstools'
+    models carry their own rescale constants (e.g. Gaussian uses the
+    integral scale, rescale sqrt(pi)/2), so for the Gaussian model the
+    reference's gstools draw has a correlation length ~2/sqrt(pi) = 1.13x
+    this one at the same nominal range — an inconsistency *within the
+    reference* (its SRF fields vs its kriging covariance) that this port
+    resolves in favor of the covariance module.
     NOT standardized; multiply by the sampled scale like the reference.
     """
     ny, nx = shape

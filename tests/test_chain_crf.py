@@ -237,3 +237,35 @@ class TestChainLossMethod:
             p["smb"], p["resolution"])
         assert c.loss(res0, 0)[0] == pytest.approx(float(out["loss"][0]),
                                                    rel=1e-5)
+
+
+class TestRunRNGStream:
+    """set_random_generator + run() semantics (code-review findings,
+    round 3): the setter path must work at all (the old
+    `self._key or as_key(None)` raised TypeError on typed PRNG keys), and
+    successive run() calls must continue the stream, not replay it —
+    mirroring the reference's single advancing Generator."""
+
+    def test_set_random_generator_then_run(self):
+        p = make_synthetic_problem(H=32, W=32)
+        c = build_small_chain(p)
+        c.set_random_generator(42)
+        out1 = c.run(20, progress_bar=False)
+        assert np.isfinite(out1["loss"]).all()
+        # second run continues the stream: different trajectory
+        out2 = c.run(20, progress_bar=False)
+        assert not np.array_equal(out1["steps"], out2["steps"]) or \
+            not np.allclose(out1["loss"], out2["loss"])
+        # re-seeding restarts the stream reproducibly
+        c2 = build_small_chain(p)
+        c2.set_random_generator(42)
+        out1b = c2.run(20, progress_bar=False)
+        np.testing.assert_array_equal(out1["steps"], out1b["steps"])
+        np.testing.assert_array_equal(out1["loss"], out1b["loss"])
+
+    def test_explicit_seed_reproducible(self):
+        p = make_synthetic_problem(H=32, W=32)
+        c = build_small_chain(p)
+        a = c.run(15, progress_bar=False, seed=7)
+        b = c.run(15, progress_bar=False, seed=7)
+        np.testing.assert_array_equal(a["loss"], b["loss"])

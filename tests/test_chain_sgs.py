@@ -347,3 +347,16 @@ class TestNuggetPath:
         out = c.run(n_iter=60, seed=5)
         assert np.all(np.isfinite(out["loss"]))
         assert np.all(np.isfinite(out["bed"]))
+
+
+def test_sgs_set_random_generator_stream():
+    """Setter-seeded runs work and advance the stream across calls
+    (round-3 review: `self._key or ...` crashed on typed PRNG keys)."""
+    p = make_synthetic_problem(H=48, W=48)
+    c = build_sgs_chain(p)
+    c.set_random_generator(11)
+    o1 = c.run(10, progress_bar=False)
+    o2 = c.run(10, progress_bar=False)
+    assert np.isfinite(o1["loss"]).all() and np.isfinite(o2["loss"]).all()
+    assert not (np.array_equal(o1["steps"], o2["steps"])
+                and np.allclose(o1["loss"], o2["loss"]))

@@ -123,3 +123,24 @@ class TestRandFieldWrapper:
         assert rf.config.spectral is False
         rf.set_generation_method(True)
         assert rf.config.spectral is True
+
+
+def test_sgs_small_grid_default_window():
+    """Grids smaller than the default half_window's 81x81 window must
+    work (round-3 review: dynamic_slice raised on WN > grid dim); the
+    window is clamped to the grid."""
+    from mcmc_tpu.geostats.sgs import krige, sgs
+
+    rng = np.random.default_rng(3)
+    H = W = 40
+    res = 500.0
+    xx, yy = np.meshgrid(np.arange(W) * res, np.arange(H) * res)
+    grid = np.full((H, W), np.nan)
+    ij = rng.integers(0, H, (60, 2))
+    grid[ij[:, 0], ij[:, 1]] = rng.normal(0, 50, 60)
+    vario = dict(major_range=5e3, minor_range=5e3, azimuth=0.0, sill=1.0,
+                 nugget=0.0, vtype="Exponential")
+    out = sgs(xx, yy, grid, vario, radius=20e3, num_points=8, seed=1)
+    assert out.shape == (H, W) and np.isfinite(out).all()
+    m, s = krige(xx, yy, grid, vario, radius=20e3, num_points=8)
+    assert np.isfinite(m).all() and np.isfinite(s).all()
