@@ -277,7 +277,14 @@ def grid_data(df, x_name, y_name, z_name, res, xmin, xmax, ymin, ymax):
     (reference Topography.py:457-498, itself adapted from GStatSim).
 
     Returns (df_grid, grid_matrix, rows, cols); grid_matrix is flipped
-    up-down like the reference, NaN where a cell has no data.
+    up-down like the reference, NaN where a cell has no data.  NaN picks
+    keep the reference's semantics: they poison their cell's sum (a cell
+    containing any NaN pick — e.g. a QC-excluded bedQCrf row — averages
+    to NaN, i.e. no conditioning there), they are NOT silently dropped.
+    One deliberate fix vs the reference: picks left/below the origin get
+    negative indices, which the reference lets WRAP to the far side of
+    the grid (only ``>= rows/cols`` is checked, Topography.py:479-480);
+    here they are excluded.
     """
     import pandas as pd
 
@@ -287,7 +294,7 @@ def grid_data(df, x_name, y_name, z_name, res, xmin, xmax, ymin, ymax):
     xi = np.rint((d["Y"].to_numpy() - ymin) / res).astype(np.int64)
     yi = np.rint((d["X"].to_numpy() - xmin) / res).astype(np.int64)
     z = d["Z"].to_numpy(float)
-    ok = (xi >= 0) & (xi < rows) & (yi >= 0) & (yi < cols) & np.isfinite(z)
+    ok = (xi >= 0) & (xi < rows) & (yi >= 0) & (yi < cols)
 
     grid_sum = np.zeros((rows, cols))
     grid_count = np.zeros((rows, cols))
@@ -378,10 +385,18 @@ def filter_data_by_std(df_in, rf_bed, cond_bed, num_of_std, xx, yy, shallow,
 
     shelf = (mask_col == 3) | (mask_col == 0)
     has_bed = ~np.isnan(bed)
+    band = ((bed < bedrf + std * num_of_std)
+            & (bed > bedrf - std * num_of_std))
     if shallow:
-        keep = bed < bedrf + std * 1.5
+        # reference quirk reproduced (Topography.py:663-666): the
+        # two-sided branch is gated by `and (~shallow)`, but on a Python
+        # bool ~True == -2 is TRUTHY, so the band keeps firing under
+        # shallow=True and the effective rule is band OR
+        # bed < bedrf + 1.5*std (== everything below bedrf +
+        # max(1.5, num_of_std)*std for the usual num_of_std >= 1.5)
+        keep = band | (bed < bedrf + std * 1.5)
     else:
-        keep = (bed < bedrf + std * num_of_std) & (bed > bedrf - std * num_of_std)
+        keep = band
     take = shelf | (has_bed & keep)
     df.loc[take, "bedQCrf"] = df.loc[take, "bed"]
     n_excluded = int((has_bed & ~shelf & ~keep).sum())

@@ -42,7 +42,9 @@ def _unpack_per_chain(states, hist, sampler):
         beds = np.asarray(states.bed) + trend
     else:
         beds = sampler.unpad(np.asarray(states.bed))
-    resampled = np.asarray(states.resampled)
+    # the resampled-count plane is a grid array too — slice it back to
+    # the true domain alongside the beds (identity when not auto-padded)
+    resampled = sampler.unpad(np.asarray(states.resampled))
     out = []
     for i in range(sampler.n_chains):
         out.append((beds[i], hist["loss_mc"][i], hist["loss_data"][i],
@@ -98,7 +100,13 @@ def small_scale_chain_farm(chain, n_chains: int, initial_beds=None,
     """
     tic = time.time()
     sampler = MultiChainSampler(chain, n_chains=n_chains)
-    tag = str(lsc_rng_seed)[:6] if lsc_rng_seed is not None else "root"
+    # the FULL parent seed names the run dir.  The reference truncates to
+    # the first 6 digits (largeScaleChain_multiprocessing.py:131) but only
+    # stores per-seed files there; here the directory carries resume state
+    # (run_with_checkpointing ignores seeds/initial_beds when a checkpoint
+    # exists), so colliding truncations would silently continue a
+    # DIFFERENT parent's chains.
+    tag = str(lsc_rng_seed) if lsc_rng_seed is not None else "root"
     ckpt_dir = Path(output_path) / "LargeScaleChain" / tag / "SmallScaleChain"
     states, hist, cum = run_with_checkpointing(
         sampler, n_iter, ckpt_dir, seeds=ssc_rng_seeds,

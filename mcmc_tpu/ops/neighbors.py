@@ -55,8 +55,13 @@ def octant_neighbors_window(target_xy, win_xy, win_values, win_valid,
     win_xy: (S, S, 2) window coordinates; win_values: (S, S);
     win_valid: (S, S) bool (conditioning data present, inside stencil, not
     the target itself).
-    Returns (coords (num_points, 2), values (num_points,),
-    mask (num_points,) bool) — per-octant nearest, reference conventions.
+    Returns (coords (K, 2), values (K,), mask (K,) bool) with
+    K = 8 * max(num_points // 8, 1) — the ``num_points // 8``-per-octant
+    nearest, reference conventions (neighbors.py:4-64: 20 requested
+    points yield 16 rows there too).  Deliberate deviation for
+    num_points < 8: the reference keeps 0 neighbors per octant (every
+    draw collapses to the unconditional prior); here 1 per octant is
+    kept so tiny num_points still condition.
     """
     k_per = max(num_points // 8, 1)
     dx = target_xy[0] - win_xy[..., 0]

@@ -78,16 +78,6 @@ def spectral_density(model_name: str, k, range_x, range_y, smoothness):
 
 
 @functools.lru_cache(maxsize=32)
-def _freq_grid_np(shape, res):
-    """Angular wavenumber magnitude on the full fft grid (host-cached)."""
-    ny, nx = shape
-    kx = np.fft.fftfreq(nx, d=res) * 2.0 * np.pi
-    ky = np.fft.fftfreq(ny, d=res) * 2.0 * np.pi
-    kyv, kxv = np.meshgrid(ky, kx, indexing="ij")
-    return (np.sqrt(np.square(kxv) + np.square(kyv)) + 1e-10).astype(np.float32)
-
-
-@functools.lru_cache(maxsize=32)
 def _rfreq_grid_np(shape, res):
     """Wavenumber magnitude on the half (rfft) grid (host-cached)."""
     ny, nx = shape
@@ -95,10 +85,6 @@ def _rfreq_grid_np(shape, res):
     ky = np.fft.fftfreq(ny, d=res) * 2.0 * np.pi
     kxv, kyv = np.meshgrid(kx, ky, indexing="xy")
     return (np.sqrt(np.square(kxv) + np.square(kyv)) + 1e-10).astype(np.float32)
-
-
-def _freq_grid(shape, res):
-    return jnp.asarray(_freq_grid_np(tuple(shape), float(res)))
 
 
 def spectral_field_from_noise(noise, shape, res, model_name: str, range_x,

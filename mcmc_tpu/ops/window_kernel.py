@@ -45,11 +45,13 @@ def fused_window_sizes(H: int, W: int, B: int):
 
 def fused_path_supported(H: int, W: int, B: int) -> bool:
     """Aligned-window geometry needs divisible grid dims (or full-dim
-    windows) so quantized starts stay aligned after clamping."""
+    windows) so quantized starts stay aligned after clamping.  The window
+    margins themselves always suffice: fused_window_sizes rounds up from
+    B+16 / B+132, which covers the block plus the pad-1 stencil ring for
+    any quantized start."""
     SX, SY = fused_window_sizes(H, W, B)
-    ok_rows = (SX == H) or (H % 8 == 0 and SX >= B + 10)
-    ok_cols = (SY == W) or (W % 128 == 0 and SY >= B + 130)
-    return ok_rows and ok_cols
+    return (((SX == H) or H % 8 == 0)
+            and ((SY == W) or W % 128 == 0))
 
 
 VMEM_RESIDENT_LIMIT = 8 * 1024 * 1024  # consts bytes; ~half of v5e VMEM
@@ -61,7 +63,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
                              consts_resident: bool | None = None):
     """Build the fused window-update op.
 
-    Returns fn(consts_stacked (10,H,W), fields (N,3,H,W), fraw (N,B,B),
+    Returns fn(consts_stacked (8,H,W), fields (N,3,H,W), fraw (N,B,B),
                edge_masks (n_sizes,B,B), geom (N,11) int32, fvals (N,6) f32)
                -> (fields' (N,3,H,W), accept (N,), delta (N,), delta_data (N,))
 
@@ -191,18 +193,10 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         sy = pl.multiple_of(geom_ref[i, 1], 128) if SY != W else 0
         shift_x = geom_ref[i, 2]
         shift_y = geom_ref[i, 3]
-        bxmin = geom_ref[i, 4]
-        bxmax = geom_ref[i, 5]
-        bymin = geom_ref[i, 6]
-        bymax = geom_ref[i, 7]
         bh = geom_ref[i, 8]
         bw = geom_ref[i, 9]
-        u = fvals_ref[i, 0]
-        loss_prev = fvals_ref[i, 1]
-        sigma = fvals_ref[i, 2]
-        resolution = fvals_ref[i, 3]
-        sigma_data = fvals_ref[i, 4]
         scale = fvals_ref[i, 5]
+        # (the block-bound and MH scalars are read by `tail` itself)
 
         cdma, sdma, edma = window_dmas(i, slot)
 

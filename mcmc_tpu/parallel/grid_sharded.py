@@ -169,7 +169,8 @@ def _make_local_crf_step(static, rows_local: int, grid_axis: str):
     instead of the previous full-grid recompute.
 
     step(cons, state, rf_arrays, region_cells, sigma, resolution, row0,
-         loss_prev, key) -> (state', loss', accept)
+         loss_prev, comp_prev, key) -> (state', loss', comp', key', accept)
+    (loss carried with Kahan compensation ``comp``, like the main path)
     cons: (8, rows_local, W) local planes [surf, velx, vely, dhdt, smb,
     upd, mcf, crfw]; state: (2, rows_local, W) [bed, mc_res].
     """
@@ -183,7 +184,7 @@ def _make_local_crf_step(static, rows_local: int, grid_axis: str):
     FP = 2 * SM + B  # canvas pad (chain_crf's trick)
 
     def step(cons, state, rf_arrays, region_cells, sigma, resolution, row0,
-             loss_prev, key):
+             loss_prev, comp_prev, key):
         key, k_blk, k_c, k_u = jax.random.split(key, 4)
         f, size_idx, w, h = draw_block(k_blk, static.rf, rf_arrays)
         cidx = jax.random.randint(k_c, (), 0, region_cells.shape[0])
@@ -304,8 +305,13 @@ def _make_local_crf_step(static, rows_local: int, grid_axis: str):
             jnp.where(write, res_patched_w, res_w),
         ])
         state = jax.lax.dynamic_update_slice(state, new_w, (0, ls, cs))
-        loss = jnp.where(write, loss_next, loss_prev)
-        return state, loss, key, accept
+        # Kahan-compensated accumulation of accepted deltas (same as the
+        # main chain path, chain_crf.py — at |loss| ~ 1e7 the f32 ulp is
+        # ~1, so bare `loss + delta` loses O(1) deltas over long runs)
+        y = jnp.where(write, delta, 0.0) - comp_prev
+        t = loss_prev + y
+        comp = (t - loss_prev) - y
+        return state, t, comp, key, accept
 
     return step
 
@@ -344,14 +350,14 @@ def make_sharded_crf_chain(mesh: Mesh, static, grid_axis: str = "grid"):
                              grid_axis) / (2.0 * jnp.square(sigma))
 
         def body(carry, _):
-            state, loss, key = carry
-            state, loss, key, accept = local_step(
+            state, loss, comp, key = carry
+            state, loss, comp, key, accept = local_step(
                 cons, state, rf_arrays, region_cells, sigma, resolution,
-                row0, loss, key)
-            return (state, loss, key), (loss, accept)
+                row0, loss, comp, key)
+            return (state, loss, comp, key), (loss, accept)
 
-        (state, loss, _), (losses, steps) = jax.lax.scan(
-            body, (state, loss0, key), None, length=n_iter)
+        (state, loss, _, _), (losses, steps) = jax.lax.scan(
+            body, (state, loss0, jnp.float32(0.0), key), None, length=n_iter)
         return state[0], losses, steps
 
     def run(bed, consts, key, n_iter: int):
@@ -426,14 +432,15 @@ def make_sharded_crf_chains(mesh: Mesh, static, chain_axis: str = "chains",
                                  grid_axis) / (2.0 * jnp.square(sigma))
 
             def body(carry, _):
-                state, loss, key = carry
-                state, loss, key, accept = local_step(
+                state, loss, comp, key = carry
+                state, loss, comp, key, accept = local_step(
                     cons, state, rf_arrays, region_cells, sigma, resolution,
-                    row0, loss, key)
-                return (state, loss, key), (loss, accept)
+                    row0, loss, comp, key)
+                return (state, loss, comp, key), (loss, accept)
 
-            (state, _, _), (losses, steps) = jax.lax.scan(
-                body, (state, loss0, key), None, length=n_iter)
+            (state, _, _, _), (losses, steps) = jax.lax.scan(
+                body, (state, loss0, jnp.float32(0.0), key), None,
+                length=n_iter)
             return state[0], losses, steps
 
         return jax.vmap(one_chain)(beds, keys)

@@ -168,3 +168,55 @@ class TestCropStudyArea:
                            "y": [0.0, 0.0, 500.0], "bed": [1, 2, 3.0]})
         with pytest.raises(ValueError, match="raster"):
             crop_study_area(df, (-1, 1000), (-1, 1000))
+
+
+class TestReferenceQuirkParity:
+    """Round-3 review: observed-behavior parity for two reference quirks
+    (SURVEY.md §8 policy — reproduce or document, never silently fix)."""
+
+    def test_filter_shallow_keeps_two_sided_band(self):
+        """Reference Topography.py:663 gates the band with `and (~shallow)`;
+        ~True == -2 is truthy, so under shallow=True the band STILL keeps
+        picks: effective rule = band OR bed < bedrf + 1.5*std."""
+        H = W = 2
+        xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+        rf_bed = np.zeros((H, W))
+        # diff field -> std = 1 (bed used as cond too)
+        bed = np.array([2.0, -0.5, -2.0, 1.0])
+        df = pd.DataFrame({"bed": bed, "bedmachine_mask": [2] * 4})
+        cond = np.array([[1.0, -1.0], [1.0, -1.0]])
+        out, rate, std = filter_data_by_std(df, rf_bed, cond, 3.0, xx, yy,
+                                            shallow=True)
+        # bed=2.0 is above bedrf + 1.5*std but inside the ±3*std band:
+        # the reference KEEPS it under shallow=True (the ~shallow quirk)
+        assert out.loc[0, "bedQCrf"] == pytest.approx(2.0)
+        # everything below +1.5*std kept by the shallow rule
+        assert out.loc[1, "bedQCrf"] == pytest.approx(-0.5)
+        assert out.loc[2, "bedQCrf"] == pytest.approx(-2.0)
+
+    def test_grid_data_nan_picks_poison_cell(self):
+        """Reference grid_data adds NaN picks into the cell sum; a cell
+        with [NaN, 500.0] averages to NaN (no conditioning), it is NOT
+        reduced to the finite picks."""
+        df = pd.DataFrame({
+            "x": [0.0, 0.0, 500.0],
+            "y": [0.0, 0.0, 0.0],
+            "bed": [np.nan, 500.0, 7.0],
+        })
+        _, mat, rows, cols = grid_data(df, "x", "y", "bed", 500.0,
+                                       0.0, 500.0, 0.0, 500.0)
+        unflipped = np.flipud(mat)
+        assert np.isnan(unflipped[0, 0])  # poisoned by the NaN pick
+        assert unflipped[0, 1] == pytest.approx(7.0)
+
+    def test_grid_data_negative_indices_excluded(self):
+        """Deliberate fix vs the reference (which wraps them to the far
+        side): picks left/below the origin are dropped."""
+        df = pd.DataFrame({
+            "x": [-1000.0, 0.0],
+            "y": [0.0, -1000.0],
+            "bed": [123.0, 456.0],
+        })
+        _, mat, _, _ = grid_data(df, "x", "y", "bed", 500.0,
+                                 0.0, 500.0, 0.0, 500.0)
+        assert np.isnan(mat).all()

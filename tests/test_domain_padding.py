@@ -382,3 +382,22 @@ def test_padded_equivalence_with_data_loss():
     np.testing.assert_allclose(tr_r["loss"], tr_p["loss"], rtol=1e-5)
     np.testing.assert_allclose(s_pad.unpad(st_p.bed), np.asarray(st_r.bed),
                                rtol=5e-5, atol=1e-3)
+
+
+def test_unpack_per_chain_true_domain(tmp_path):
+    """drivers farm results on an auto-padded run: EVERY grid plane in the
+    per-chain tuples (bed AND resampled_times) comes back true-domain."""
+    from mcmc_tpu.drivers import _unpack_per_chain
+    from mcmc_tpu.parallel.sampler import MultiChainSampler
+
+    p = make_synthetic_problem(H=H, W=W)
+    with pytest.warns(UserWarning, match="auto-padded"):
+        s = MultiChainSampler(build_small_chain(p), n_chains=2,
+                              use_mesh=False, auto_pad="force")
+    st = s.init(seeds=1)
+    st, tr = s.run(st, 5, segment_size=5, progress=False)
+    hist = {k: np.asarray(v) for k, v in tr.items()}
+    out = _unpack_per_chain(st, hist, s)
+    for bed_i, _, _, _, _, resampled_i, _ in out:
+        assert bed_i.shape == (H, W)
+        assert resampled_i.shape == (H, W)

@@ -57,8 +57,11 @@ class TestFarms:
         bed, _, _, loss, steps, _, _ = results[0]
         assert np.isfinite(loss).all()
         assert bed.shape == (64, 64)
-        # nested run directory like the reference layout
-        assert (tmp_path / "LargeScaleChain" / "123456" /
+        # nested run directory like the reference layout — keyed by the
+        # FULL parent seed (the reference truncates to 6 digits, but here
+        # the dir carries resume state, so truncation collisions would
+        # silently continue a different parent's chains)
+        assert (tmp_path / "LargeScaleChain" / "123456789" /
                 "SmallScaleChain").exists()
 
 
