@@ -195,24 +195,27 @@ class CheckpointManager:
                         **(meta or {})}).encode(), dtype=np.uint8)
 
         old = self._checkpoints()
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                np.savez_compressed(fh, **payload)
-            target = self.dir / f"checkpoint_{int(cumulative_iter)}.npz"
-            os.replace(tmp, target)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        # retract any stale sharded set at this iteration (sharded beats
-        # single in discovery, so leftovers would shadow the new file);
-        # marker first, so the stale set never looks complete mid-delete
+        # retract any stale sharded set at this iteration BEFORE the new
+        # single file becomes visible (sharded beats single in discovery,
+        # so a crash or concurrent reader in a publish-then-retract window
+        # would resolve to the stale sharded state and silently shadow the
+        # fresh file; _save_sharded orders retract-before-write too).
+        # Marker first, so the stale set never looks complete mid-delete.
         it = int(cumulative_iter)
         (self.dir / f"checkpoint_{it}.ok").unlink(missing_ok=True)
         for p in list(self.dir.iterdir()):
             m = _SHARD_RE.search(p.name)
             if m and int(m.group(1)) == it:
                 p.unlink(missing_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez_compressed(fh, **payload)
+            target = self.dir / f"checkpoint_{it}.npz"
+            os.replace(tmp, target)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         # delete superseded checkpoints only after the new one is durable
         for it, _kind, _paths in old[: max(0, len(old) - (self.keep - 1))]:
             if it != int(cumulative_iter):
@@ -309,6 +312,20 @@ class CheckpointManager:
             if os.path.exists(tmp):
                 os.unlink(tmp)
         return target
+
+    def prune_history(self, from_row: int):
+        """Delete history segments at/after ``from_row`` — called on
+        resume: a crash between a history append and its state save
+        leaves a stale segment AHEAD of the checkpoint; the resumed run
+        re-records those rows into a new segment, and without pruning a
+        later ``load_history()`` would concatenate both (duplicated rows,
+        truncated tail).  Segments always start exactly at a state-save
+        boundary (append_history runs inside the same flush), so
+        ``start >= from_row`` identifies exactly the crash-window ones."""
+        for p in list(self.dir.iterdir()):
+            m = _HIST_RE.search(p.name)
+            if m and int(m.group(1)) >= int(from_row):
+                p.unlink(missing_ok=True)
 
     def load_history(self, upto: Optional[int] = None):
         """Concatenate history segment files (chain-major axis=1), truncated
@@ -439,6 +456,17 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
     ck = mgr.load()
     if ck is not None:
         done, states, histories, _ = ck
+        expected_cls = "SGSState" if sampler.is_sgs else "ChainState"
+        if type(states).__name__ != expected_cls:
+            raise ValueError(
+                f"checkpoint holds a {type(states).__name__} but the "
+                f"sampler's chain family needs a {expected_cls}: this "
+                "directory belongs to a run of the other chain family "
+                "(CRF vs SGS). Point the sampler at its own run directory.")
+        # a crash between a history append and its state save leaves a
+        # stale segment ahead of the checkpoint; remove it before this
+        # run re-records those rows (duplicate-segment corruption)
+        mgr.prune_history(done)
         exp = (int(sampler.static.H), int(sampler.static.W))
         got = tuple(np.asarray(states.bed).shape[-2:])
         if got != exp:
@@ -470,16 +498,10 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
     # exactly the traces of an uninterrupted one.
     remaining = int(n_iter) - done
     if remaining <= 0:
-        if not histories:
-            histories = mgr.load_history(upto=done)
         return states, histories, done
 
     checkpoint_every = checkpoint_every or segment_size
     resuming = ck is not None
-    if resuming and not histories:
-        # legacy full-embed checkpoints carry their histories; incremental
-        # runs store them as hist_{a}_{b}.npz segment files
-        histories = mgr.load_history(upto=done)
 
     def _merge(prev, new):
         if not prev:

@@ -55,7 +55,7 @@ def make_matern_table(
 
     h = np.linspace(0.0, h_max, n_points)
     hc = np.where(h == 0.0, 1e-8, h)
-    scale = 0.45246434 * np.exp(-0.70449189 * s) + 1.7863836
+    scale = matern_scale_fit(s)
     with np.errstate(invalid="ignore", over="ignore"):
         c = 2.0 / gamma(s) * np.power(scale * hc * np.sqrt(s), s) * kv(s, 2.0 * scale * hc * np.sqrt(s))
     c = np.where(np.isnan(c), 1.0, c)  # h→0 limit is (sill-nugget)·1

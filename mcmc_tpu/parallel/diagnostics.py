@@ -60,6 +60,14 @@ def ess(traces):
         x = x[..., None]
     x = jnp.moveaxis(x, -1, 0)  # (P, n_chains, n)
     P, m, n = x.shape
+    if m == 1:
+        # single chain: split it in half (same trick as split_rhat) so
+        # the between-chain variance term is defined — ddof=1 over one
+        # chain mean would otherwise make every ESS NaN
+        half = n // 2
+        x = jnp.concatenate([x[:, :, :half], x[:, :, half:2 * half]],
+                            axis=1)
+        P, m, n = x.shape
 
     acov = _autocov_fft(x)                       # (P, m, n)
     chain_var = acov[..., 0] * n / (n - 1.0)     # (P, m)

@@ -15,10 +15,6 @@ import numpy as np
 
 
 def _plt():
-    import matplotlib
-
-    if matplotlib.get_backend().lower().startswith("qt") is False:
-        pass  # leave the user's backend alone; Agg is fine headless
     import matplotlib.pyplot as plt
 
     return plt

@@ -2,6 +2,7 @@
 one (the reference's RNG-state round-trip guarantee, here via PRNG keys)."""
 
 import numpy as np
+import pytest
 
 from mcmc_tpu.io import CheckpointManager, run_with_checkpointing
 from mcmc_tpu.parallel import MultiChainSampler
@@ -218,3 +219,67 @@ class TestCheckpoint:
         _, h2, c = run_with_checkpointing(s2, 30, d, seeds=9, segment_size=10)
         assert c == 30
         np.testing.assert_array_equal(h1["loss"], h2["loss"])
+
+
+class TestRound3ReviewFixes:
+    def test_stale_history_segment_pruned_on_resume(self, tmp_path):
+        """A crash between a history append and its state save leaves a
+        segment AHEAD of the checkpoint; resume must prune it or a later
+        load_history() concatenates overlapping segments (duplicated
+        rows, truncated tail)."""
+        s1 = make_sampler()
+        st = s1.init(seeds=9)
+        _, full = s1.run(st, n_iter=40, segment_size=10, progress=False)
+
+        d = tmp_path / "ck"
+        run_with_checkpointing(make_sampler(), 20, d, seeds=9,
+                               segment_size=10)
+        mgr = CheckpointManager(d)
+        # fake the crash window: history rows [20, 30) on disk, state at 20
+        mgr.append_history(20, 30, {"loss": np.full((2, 10), np.nan),
+                                    "step": np.zeros((2, 10), bool)})
+        _, h2, c2 = run_with_checkpointing(make_sampler(), 40, d, seeds=9,
+                                           segment_size=10)
+        assert c2 == 40 and h2["loss"].shape == (2, 40)
+        np.testing.assert_array_equal(h2["loss"], full["loss"])
+        # and a fresh directory read agrees (no overlapping segments left)
+        h3 = CheckpointManager(d).load_history(upto=40)
+        np.testing.assert_array_equal(h3["loss"], full["loss"])
+
+    def test_family_mismatch_resume_raises(self, tmp_path):
+        from tests.test_chain_sgs import build_sgs_chain
+
+        d = tmp_path / "ck"
+        run_with_checkpointing(make_sampler(), 10, d, seeds=1,
+                               segment_size=10)
+        p = make_synthetic_problem(H=64, W=64)
+        sgs_sampler = MultiChainSampler(build_sgs_chain(p), n_chains=2,
+                                        use_mesh=False)
+        with pytest.raises(ValueError, match="chain family"):
+            run_with_checkpointing(sgs_sampler, 20, d, seeds=1,
+                                   segment_size=10)
+
+
+def test_ess_single_chain_finite():
+    """ess() on a single chain must split-in-half, not return NaN."""
+    from mcmc_tpu.parallel.diagnostics import ess
+
+    rng = np.random.default_rng(0)
+    # an AR(1) trace with known positive autocorrelation
+    x = np.zeros(400)
+    for i in range(1, 400):
+        x[i] = 0.7 * x[i - 1] + rng.normal()
+    out = np.asarray(ess(x[None, :]))
+    assert np.isfinite(out).all()
+    assert 5 < float(out) < 400
+
+
+def test_progress_cursor_helpers(capsys):
+    """Reference-parity ANSI helpers write cursor escapes to stdout
+    (MCMC.py:31-39 behavior: side-effect print, no return value)."""
+    from mcmc_tpu.utils.progress import clear_line, move_cursor_to_line
+
+    move_cursor_to_line(3)
+    clear_line()
+    out = capsys.readouterr().out
+    assert "\033[3;0H" in out and "\033[2K" in out
