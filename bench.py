@@ -89,11 +89,6 @@ def measure_cpu_baseline(p, chain, n_iter=150):
     """Reference-twin single-chain it/s x physical cores."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     import reference_impl as ref
-    from mcmc_tpu.models.randfield import build_randfield
-
-    static, _ = chain.build()
-    rf_static, _ = build_randfield(chain._rf_cfg, chain._block_cfg,
-                                   chain._weight_cfg)
     from mcmc_tpu.models.randfield import make_block_menu
     from mcmc_tpu.ops.logistic import make_edge_mask
 

@@ -45,9 +45,14 @@ def interpolate(method: str, from_x, from_y, data, to_x, to_y, k: int = 1):
     if method == "kneighbors":
         from scipy.spatial import cKDTree
 
+        # one normalized k for BOTH the query and the reduction: un-capped
+        # k > len(pts) makes cKDTree pad with the out-of-bounds sentinel
+        # index (data[idx] would raise), and k=0 would query k=1 but then
+        # take mean(axis=1) of a 1-D result
+        kq = max(1, min(int(k), pts.shape[0]))
         tree = cKDTree(pts)
-        d, idx = tree.query(tgt, k=max(int(k), 1))
-        if k == 1:
+        d, idx = tree.query(tgt, k=kq)
+        if kq == 1:
             return data[idx]
         return data[idx].mean(axis=1)
     raise ValueError("the interp_method is not correctly defined, exit the function")

@@ -603,6 +603,12 @@ def _run_segmented(run_fn, state, n_iter: int, info_per_iter: int,
     reference's progress line / live figure (MCMC.py:1368-1432).  Segment
     row 0 duplicates the carried state and is dropped on continuation
     segments, so the stitched traces equal the single-scan ones exactly."""
+    if n_iter < 1:
+        # row 0 records the initial state, so the smallest run is 1; a 0
+        # would reach lax.scan with length=-1 and die with a confusing
+        # trace-time error deep in jit
+        raise ValueError("n_iter must be >= 1 (trace row 0 records the "
+                         "initial state, reference loop semantics)")
     if not (progress_bar or plot):
         return run_fn(state, n_iter)
     import time as _time
@@ -800,6 +806,16 @@ class ChainCRF:
         wc = weight_cfg or self._weight_cfg
         if wc is None:
             raise ValueError("call configure_randfield first or pass weight_cfg")
+        if not np.any(self.data_mask == 1):
+            # distance-to-data is inf everywhere -> the logistic weight
+            # collapses to all-zero and the chain would accept every
+            # (zero) proposal while never moving; the reference fails
+            # loudly here too (KDTree on an empty point set raises)
+            raise ValueError(
+                "data_mask has no conditioning cells: the CRF data weight "
+                "would be zero everywhere (a frozen chain). Use "
+                "block_type='RF' for unconditional proposals, or pass an "
+                "explicit weight array.")
         dist = min_dist_from_mask(self.xx, self.yy, self.data_mask == 1)
         # host-side numpy (setup path): keep eager device dispatch off the
         # build; same formula as ops.logistic.crf_weight_from_dist

@@ -118,9 +118,13 @@ def pad_chain(chain):
     Hp, Wp = aligned_shape(H, W)
     if (Hp, Wp) == (H, W):
         return chain, (H, W)
+    ph, pw = Hp - H, Wp - W
+    # only the dimensions actually being padded matter: a mask on the
+    # last row is harmless when ph == 0 (no rows added, row stencils
+    # unchanged), and symmetrically for columns
     for name in ("region_mask", "mc_region_mask"):
         m = np.asarray(getattr(chain, name))
-        if m[-1, :].any() or m[:, -1].any():
+        if (ph and m[-1, :].any()) or (pw and m[:, -1].any()):
             raise ValueError(
                 f"{name} touches the east/south boundary: alignment "
                 "padding would change the boundary gradient stencils "
@@ -129,11 +133,20 @@ def pad_chain(chain):
     from ..drivers import chain_from_snapshot, chain_snapshot
 
     snap = chain_snapshot(chain)
-    ph, pw = Hp - H, Wp - W
     res = float(chain.resolution)
     for k, v in snap.items():
         if isinstance(v, np.ndarray) and v.ndim == 2 and v.shape == (H, W):
             snap[k] = _pad_plane(k, v, ph, pw, res)
+    if snap.get("sample_loc") is not None:
+        # probe coordinates beyond the true extent would otherwise
+        # nearest-map into inert pad cells (constant traces); clamp them
+        # onto the true domain — pad coords are strictly beyond, so the
+        # clamped lookup lands on the same cell as in the unpadded chain
+        xx, yy = np.asarray(chain.xx), np.asarray(chain.yy)
+        loc = np.array(snap["sample_loc"], float, copy=True)
+        loc[:, 0] = np.clip(loc[:, 0], xx.min(), xx.max())
+        loc[:, 1] = np.clip(loc[:, 1], yy.min(), yy.max())
+        snap["sample_loc"] = loc
     padded = chain_from_snapshot(snap)
     padded._key = getattr(chain, "_key", None)
     return padded, (H, W)

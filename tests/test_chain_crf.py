@@ -269,3 +269,19 @@ class TestRunRNGStream:
         a = c.run(15, progress_bar=False, seed=7)
         b = c.run(15, progress_bar=False, seed=7)
         np.testing.assert_array_equal(a["loss"], b["loss"])
+
+
+def test_run_rejects_n_iter_zero():
+    p = make_synthetic_problem(H=32, W=32)
+    c = build_small_chain(p)
+    with pytest.raises(ValueError, match="n_iter"):
+        c.run(0, seed=1)
+
+
+def test_crf_weight_empty_data_mask_raises():
+    p = make_synthetic_problem(H=32, W=32)
+    p["data_mask"] = np.zeros((32, 32), bool)
+    p["cond_bed"] = np.full((32, 32), np.nan)
+    c = build_small_chain(p, block_type="CRF_weight")
+    with pytest.raises(ValueError, match="no conditioning cells"):
+        c.set_crf_data_weight()

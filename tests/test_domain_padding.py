@@ -401,3 +401,48 @@ def test_unpack_per_chain_true_domain(tmp_path):
     for bed_i, _, _, _, _, resampled_i, _ in out:
         assert bed_i.shape == (H, W)
         assert resampled_i.shape == (H, W)
+
+
+def test_pad_chain_guard_only_padded_dims():
+    """A mask on the last row is harmless when no rows are added (ph==0):
+    the guard must only reject boundary masks along actually-padded dims."""
+    from mcmc_tpu.utils.domain import pad_chain
+
+    p = make_synthetic_problem(H=64, W=W)  # 64 % 8 == 0: only cols pad
+    chain = build_small_chain(p)
+    region = np.asarray(p["region"], np.float32).copy()
+    region[-1, :] = 1.0  # touches the south boundary; rows are NOT padded
+    region[:, -1] = 0.0
+    chain.set_update_region(True, region)
+    chain.set_loss_type(sigma_mc=5.0, massConvInRegion=True)
+    padded, hw = pad_chain(chain)
+    assert hw == (64, W) and padded.xx.shape == aligned_shape(64, W)
+
+    # but a mask on the last COLUMN must still be rejected (cols pad)
+    chain2 = build_small_chain(p)
+    region2 = np.asarray(p["region"], np.float32).copy()
+    region2[:, -1] = 1.0
+    chain2.set_update_region(True, region2)
+    chain2.set_loss_type(sigma_mc=5.0, massConvInRegion=True)
+    with pytest.raises(ValueError, match="boundary"):
+        pad_chain(chain2)
+
+
+def test_pad_chain_clamps_out_of_extent_probes():
+    """Probe coordinates beyond the true extent must not nearest-map into
+    inert pad cells (constant traces); they are clamped onto the true
+    domain."""
+    from mcmc_tpu.utils.domain import pad_chain
+
+    p = make_synthetic_problem(H=H, W=W)
+    chain = build_small_chain(p)
+    xmax, ymax = p["xx"].max(), p["yy"].max()
+    chain.set_sample_points_locations(
+        np.array([[xmax + 5 * p["resolution"], ymax + 5 * p["resolution"]],
+                  [p["xx"][3, 4], p["yy"][3, 4]]]))
+    padded, _ = pad_chain(chain)
+    static, consts = padded.build()
+    ij = np.asarray(consts.sample_ij)
+    assert (ij[:, 0] < H).all() and (ij[:, 1] < W).all()
+    np.testing.assert_array_equal(ij[0], [H - 1, W - 1])
+    np.testing.assert_array_equal(ij[1], [3, 4])
