@@ -25,3 +25,19 @@ def test_convergence_smoke():
         capture_output=True, text=True, timeout=600, cwd=str(root), env=env)
     assert out.returncode == 0, (out.stdout, out.stderr[-2000:])
     assert "ALL PASS" in out.stdout, out.stdout
+
+
+def test_unaligned_grid_example_smoke():
+    """examples/07 end to end in a subprocess: auto-pad keeps results
+    true-domain, pad cells inert, mismatched-padding resume rejected."""
+    root = pathlib.Path(__file__).resolve().parents[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = str(root)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable,
+         str(root / "examples" / "07_unaligned_production_grid.py")],
+        capture_output=True, text=True, timeout=600, cwd=str(root), env=env)
+    assert out.returncode == 0, (out.stdout, out.stderr[-2000:])
+    assert "[07] PASS" in out.stdout, out.stdout
