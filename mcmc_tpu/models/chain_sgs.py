@@ -838,6 +838,35 @@ class ChainSGS:
             ij[k, 1] = int(np.argmin(np.abs(self.xx[0, :] - self.sample_loc[k, 0])))
         return ij
 
+    def _coerce_nst(self):
+        """The configured normal-score transform as a NormalScoreTransform
+        (accepts a fitted sklearn QuantileTransformer for parity)."""
+        nst = self.nst_trans
+        if nst is None:
+            raise ValueError("set_normal_transformation(nst, True) "
+                             "requires a fitted transform")
+        if not isinstance(nst, NormalScoreTransform):
+            nst = NormalScoreTransform(
+                quantiles=np.asarray(nst.quantiles_).ravel(),
+                references=np.asarray(nst.references_).ravel())
+        return nst
+
+    def preprocess_beds(self, beds):
+        """Detrend (+ the reference's whole-grid transform->inverse clamp,
+        MCMC.py:1644-1659) full-space beds exactly like ``build()``
+        preprocesses the initial bed.  Accepts (H, W) or (n, H, W); used
+        by the multi-chain sampler for per-chain initial beds (host NumPy
+        twins: same numerics, no eager device dispatch)."""
+        beds = np.asarray(beds, np.float32)
+        trend = (self.trend if self.detrend_map
+                 else np.zeros(self.xx.shape, np.float32))
+        out = beds - trend
+        if self.do_transform:
+            nst = self._coerce_nst()
+            out = np.asarray(nst.inverse_np(nst.transform_np(out)),
+                             np.float32)
+        return out
+
     def build(self):
         if self.sigma_mc is None:
             raise ValueError("call set_loss_type before building the chain")
@@ -868,7 +897,10 @@ class ChainSGS:
 
         trend = (self.trend if self.detrend_map
                  else np.zeros(self.xx.shape, np.float32))
-        bed0 = self.initial_bed - trend
+        # detrend + the reference's whole-grid transform->inverse clamp —
+        # shared with the sampler's per-chain bed path (preprocess_beds)
+        # so farm beds and the builder's initial bed can never diverge
+        bed0 = self.preprocess_beds(self.initial_bed)
         cond0 = self.cond_bed - trend
         # Conditioning keys off data_mask AND finite cond_bed: the reference
         # keys off ~isnan(cond_bed) (MCMC.py:1766-1773) and would re-simulate
@@ -877,18 +909,7 @@ class ChainSGS:
         dmask = np.asarray(self.data_mask, bool) & np.isfinite(np.asarray(cond0))
 
         if self.do_transform:
-            nst = self.nst_trans
-            if nst is None:
-                raise ValueError("set_normal_transformation(nst, True) "
-                                 "requires a fitted transform")
-            if not isinstance(nst, NormalScoreTransform):
-                # accept a fitted sklearn QuantileTransformer for parity
-                nst = NormalScoreTransform(
-                    quantiles=np.asarray(nst.quantiles_).ravel(),
-                    references=np.asarray(nst.references_).ravel())
-            # apply the reference's whole-grid transform->inverse clamp once
-            # (host NumPy twins: same numerics, no eager device dispatch)
-            bed0 = np.asarray(nst.inverse_np(nst.transform_np(bed0)), np.float32)
+            nst = self._coerce_nst()
             z_cond = np.asarray(nst.transform_np(
                 np.where(np.isnan(cond0), 0.0, cond0)), np.float32)
             z_cond = np.where(dmask, z_cond, 0.0)

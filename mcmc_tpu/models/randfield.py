@@ -280,7 +280,19 @@ class RandField:
         from ..ops.spectral import (sample_field_params, spectral_field,
                                     standardize_masked)
 
-        res = float(abs(np.asarray(X)[1] - np.asarray(X)[0])) if len(X) > 1 else 1.0
+        X, Y = np.asarray(X), np.asarray(Y)
+        res = float(abs(X[1] - X[0])) if len(X) > 1 else 1.0
+        if len(Y) > 1:
+            res_y = float(abs(Y[1] - Y[0]))
+            if abs(res_y - res) > 1e-6 * max(res, res_y):
+                # the synthesis grids assume square cells; silently using
+                # the X spacing on both axes would stretch correlation
+                # lengths along Y (the reference's gstools path uses the
+                # true coordinates and would not)
+                raise ValueError(
+                    f"get_random_field needs square cells: X spacing {res} "
+                    f"!= Y spacing {res_y}. Resample the grid or generate "
+                    "on the finer spacing and subsample.")
         shape = (len(Y), len(X))
         cfg = self.config
 
@@ -321,7 +333,13 @@ class RandField:
         """One edge-masked proposal block (host convenience; the chain uses
         the compiled path)."""
         static, arrays = self._ensure_built()
+        # cache the compiled draw: a fresh jit wrapper per call would
+        # retrace + recompile every draw (20s-9min each on the tunneled
+        # device) — same pattern as _field_jit above
+        if getattr(self, "_block_jit_static", None) is not static:
+            self._block_jit = jax.jit(
+                lambda kk, arrs: draw_block(kk, static, arrs))
+            self._block_jit_static = static
         self._key, k = jax.random.split(self._key)
-        f, size_idx, w, h = jax.jit(
-            lambda kk: draw_block(kk, static, arrays))(k)
+        f, size_idx, w, h = self._block_jit(k, arrays)
         return np.asarray(f)[: int(h), : int(w)]

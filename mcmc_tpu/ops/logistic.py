@@ -4,7 +4,10 @@ Port of the reference's conditioning-weight machinery
 (reference: gstatsMCMC/MCMC.py:583-623 (edge masks), :689-740 (CRF weights)).
 
 The logistic map is  f(x) = L / (1 + exp(-k*(x - x0))) - offset  applied to
-distances rescaled so that ``max_dist`` maps to 1.
+distances rescaled so that ``max_dist`` maps to 1.  ``_rescaled_logistic``
+is the single definition of that formula — every weight/mask path below
+goes through it (with either the NumPy or jnp namespace), so a change to
+the clamp or map semantics cannot leave the paths diverged.
 """
 
 from __future__ import annotations
@@ -13,11 +16,17 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _rescaled_logistic(dist, L, x0, k, offset, max_dist, xp):
+    """dist -> (logistic(dist/max_dist clamped to 1), the rescaled dist)."""
+    d = xp.asarray(dist)
+    dist_rescale = xp.where(d > max_dist, 1.0, d / max_dist)
+    return L / (1.0 + xp.exp(-k * (dist_rescale - x0))) - offset, dist_rescale
+
+
 def logistic_weight(dist, L, x0, k, offset, max_dist):
     """Rescale distance by max_dist (clamped to 1) and apply the logistic map."""
-    d = jnp.asarray(dist)
-    dist_rescale = jnp.where(d > max_dist, 1.0, d / max_dist)
-    return L / (1.0 + jnp.exp(-k * (dist_rescale - x0))) - offset
+    out, _ = _rescaled_logistic(dist, L, x0, k, offset, max_dist, jnp)
+    return out
 
 
 def crf_weight_from_dist(dist, L, x0, k, offset, max_dist):
@@ -27,9 +36,8 @@ def crf_weight_from_dist(dist, L, x0, k, offset, max_dist):
     logistic output is shifted so its minimum is zero (weight 0 at data).
     Returns (weight, dist_rescale, dist_logi).
     """
-    d = jnp.asarray(dist)
-    dist_rescale = jnp.where(d > max_dist, 1.0, d / max_dist)
-    dist_logi = L / (1.0 + jnp.exp(-k * (dist_rescale - x0))) - offset
+    dist_logi, dist_rescale = _rescaled_logistic(dist, L, x0, k, offset,
+                                                 max_dist, jnp)
     weight = dist_logi - jnp.min(dist_logi)
     return weight, dist_rescale, dist_logi
 
@@ -51,6 +59,5 @@ def make_edge_mask(height: int, width: int, resolution: float,
     dist = np.minimum(
         np.minimum(ii, height - 1 - ii), np.minimum(jj, width - 1 - jj)
     ).astype(np.float64) * resolution
-    dist_rescale = np.where(dist > max_dist, 1.0, dist / max_dist)
-    mask = L / (1.0 + np.exp(-k * (dist_rescale - x0))) - offset
+    mask, _ = _rescaled_logistic(dist, L, x0, k, offset, max_dist, np)
     return mask.astype(np.float32)

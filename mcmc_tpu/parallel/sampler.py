@@ -31,7 +31,7 @@ from ..models.chain_crf import (
     init_state,
     make_step,
 )
-from ..utils.rng import as_key, split_for_chains
+from ..utils.rng import keys_from_seed_list, split_for_chains
 from .mesh import chains_mesh, replicate, shard_chains
 
 
@@ -145,6 +145,11 @@ class MultiChainSampler:
                  auto_pad=True):
         from ..models.chain_sgs import ChainSGS
 
+        if impl not in ("auto", "xla", "fused"):
+            # a typo would otherwise silently select the ~6x slower XLA
+            # path (only == "auto" is special-cased below)
+            raise ValueError(
+                f"impl must be 'auto', 'xla', or 'fused'; got {impl!r}")
         self.chain = chain
         self.is_sgs = isinstance(chain, ChainSGS)
         self.n_chains = int(n_chains)
@@ -300,7 +305,7 @@ class MultiChainSampler:
         else:
             if len(seeds) < self.n_chains:
                 raise ValueError("need at least n_chains seeds")
-            keys = jnp.stack([as_key(int(s)) for s in seeds[: self.n_chains]])
+            keys = keys_from_seed_list(seeds[: self.n_chains])
         if self.mesh is not None:
             keys = shard_chains(keys, self.mesh)
 
@@ -352,25 +357,10 @@ class MultiChainSampler:
         return states
 
     def _preprocess_sgs_beds(self, initial_beds):
-        """Detrend (+ transform clamp roundtrip) per-chain full-space beds,
-        matching ChainSGS.build's initial-bed preprocessing."""
-        beds = np.asarray(initial_beds, np.float32)
-        if beds.ndim == 2:
-            beds = beds[None]
-        trend = (self.chain.trend if self.chain.detrend_map
-                 else np.zeros(beds.shape[-2:], np.float32))
-        out = beds - trend
-        if self.chain.do_transform:
-            nst = self.chain.nst_trans
-            from ..ops.transforms import NormalScoreTransform
-
-            if not isinstance(nst, NormalScoreTransform):
-                nst = NormalScoreTransform(
-                    quantiles=np.asarray(nst.quantiles_).ravel(),
-                    references=np.asarray(nst.references_).ravel())
-            # host NumPy twins: eager jnp on a remote backend costs seconds
-            out = np.asarray(nst.inverse_np(nst.transform_np(out)), np.float32)
-        return out if out.shape[0] > 1 else out[0]
+        """Per-chain full-space beds through ChainSGS.preprocess_beds —
+        the SAME helper build() uses, so farm beds can never drift from
+        the builder's initial-bed preprocessing."""
+        return self.chain.preprocess_beds(initial_beds)
 
     # -- execution ----------------------------------------------------------
 
@@ -405,17 +395,40 @@ class MultiChainSampler:
         profile_dir: capture a jax.profiler trace of the second segment.
         """
         n_iter = int(n_iter)
-        loss_data0 = getattr(states, "loss_data", jnp.zeros_like(states.loss_mc))
-        init_row = {
-            "loss_mc": states.loss_mc,
-            "loss_data": loss_data0,
-            "loss": states.loss_mc + loss_data0,
-            "step": jnp.zeros(self.n_chains, bool),
-            "block": jnp.full((self.n_chains, 4), jnp.nan, jnp.float32),
-            "samples": jax.vmap(
-                lambda b: b[self.consts.sample_ij[:, 0], self.consts.sample_ij[:, 1]]
-            )(states.bed + self.consts.trend if self.is_sgs else states.bed),
-        }
+        if n_iter < 1:
+            raise ValueError("n_iter must be >= 1 (trace row 0 records "
+                             "the initial state)")
+        # one compiled program for the init row + the per-segment bed
+        # materialization — eager jnp ops cost seconds each on the
+        # tunneled device (CLAUDE.md), and collect_beds would otherwise
+        # pay an eager full-grid add every segment
+        if not hasattr(self, "_row_jit"):
+            is_sgs = self.is_sgs
+            n_chains = self.n_chains
+
+            def _full_bed(consts_, states_):
+                return states_.bed + consts_.trend if is_sgs else states_.bed
+
+            def _init_row(consts_, states_):
+                loss_data0 = (states_.loss_data
+                              if hasattr(states_, "loss_data")
+                              else jnp.zeros_like(states_.loss_mc))
+                samples = jax.vmap(
+                    lambda b: b[consts_.sample_ij[:, 0],
+                                consts_.sample_ij[:, 1]]
+                )(_full_bed(consts_, states_))
+                return {
+                    "loss_mc": states_.loss_mc,
+                    "loss_data": loss_data0,
+                    "loss": states_.loss_mc + loss_data0,
+                    "step": jnp.zeros(n_chains, bool),
+                    "block": jnp.full((n_chains, 4), jnp.nan, jnp.float32),
+                    "samples": samples,
+                }
+
+            self._row_jit = jax.jit(_init_row)
+            self._full_bed_jit = jax.jit(_full_bed)
+        init_row = self._row_jit(self.consts, states)
         init_np = jax.tree.map(lambda x: np.asarray(x)[None], init_row)
 
         collected = []
@@ -451,7 +464,7 @@ class MultiChainSampler:
                 first = False
             collected.append(traces_np)
             if collect_beds:
-                bed = states.bed + self.consts.trend if self.is_sgs else states.bed
+                bed = self._full_bed_jit(self.consts, states)
                 bed_snaps.append(self.unpad(np.asarray(bed)))
             remaining -= n
             done += n

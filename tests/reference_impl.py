@@ -299,13 +299,16 @@ def octant_neighbors(i, j, xx, yy, grid, cond_msk, radius, num_points):
     hw = math.ceil(radius / dx)
     ilow, ihigh = max(0, i - hw), min(ni, i + hw + 1)
     jlow, jhigh = max(0, j - hw), min(nj, j + hw + 1)
-    ii, jj = np.meshgrid(np.arange(ni), np.arange(nj), indexing="ij")
     g = grid[ilow:ihigh, jlow:jhigh]
     x = xx[ilow:ihigh, jlow:jhigh]
     y = yy[ilow:ihigh, jlow:jhigh]
     cm = cond_msk[ilow:ihigh, jlow:jhigh]
-    iw = ii[ilow:ihigh, jlow:jhigh]
-    jw = jj[ilow:ihigh, jlow:jhigh]
+    # window-local index grids (the reference builds the full-grid ii/jj
+    # ONCE per sgs() call and slices per cell, MCMC.py:128; allocating
+    # full-grid arrays per cell here would make this twin artificially
+    # slow — it is the bench's CPU-baseline denominator)
+    iw, jw = np.meshgrid(np.arange(ilow, ihigh), np.arange(jlow, jhigh),
+                         indexing="ij")
     li, lj = i - ilow, j - jlow
 
     distances = np.sqrt((x[li, lj] - x) ** 2 + (y[li, lj] - y) ** 2)

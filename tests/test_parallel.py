@@ -301,3 +301,17 @@ class TestCombinedChainsGrid:
         np.testing.assert_allclose(loss8, loss1, rtol=1e-5)
         np.testing.assert_allclose(beds8, beds1, rtol=1e-5, atol=1e-3)
         assert steps8.sum() > 0
+
+
+def test_sampler_rejects_bad_impl_and_zero_iters():
+    from tests.conftest import make_synthetic_problem
+    from tests.test_chain_crf import build_small_chain
+
+    p = make_synthetic_problem(H=32, W=32)
+    with pytest.raises(ValueError, match="impl"):
+        MultiChainSampler(build_small_chain(p), n_chains=2, use_mesh=False,
+                          impl="Fused")
+    s = MultiChainSampler(build_small_chain(p), n_chains=2, use_mesh=False)
+    st = s.init(seeds=1)
+    with pytest.raises(ValueError, match="n_iter"):
+        s.run(st, 0, progress=False)

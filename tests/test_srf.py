@@ -89,3 +89,22 @@ class TestSRFChainPath:
         rf.set_generation_method(True)
         f2 = rf.get_random_field(X, X)
         assert f2.shape == (32, 32) and np.isfinite(f2).all()
+
+
+def test_get_random_field_rejects_unequal_spacing():
+    """Silently stretching Y correlation by using the X spacing on both
+    axes would diverge from the reference's coordinate-true gstools path;
+    unequal spacing must fail loudly."""
+    import pytest
+
+    from mcmc_tpu.models.randfield import RandField
+
+    rf = RandField(3e3, 8e3, 3e3, 8e3, 20, 60, 0.0, "Gaussian", True,
+                   rng_seed=0)
+    X = np.arange(32) * 500.0
+    Y = np.arange(32) * 1000.0
+    with pytest.raises(ValueError, match="square cells"):
+        rf.get_random_field(X, Y)
+    # equal spacing still works
+    f = rf.get_random_field(X, np.arange(24) * 500.0)
+    assert f.shape == (24, 32) and np.isfinite(f).all()
