@@ -248,6 +248,39 @@ def _cores():
         return 1
 
 
+def _device_watchdog(timeout_s=240, attempts=2, env=None):
+    """Bound backend init: the tunneled axon backend HANGS indefinitely when
+    the tunnel is down (observed 2026-08-17: jax.devices() still blocked
+    after 5+ min). Probe it in a subprocess with a timeout so bench fails
+    fast with a clear message instead of hanging the driver's bench step.
+    No-op cost when the device is healthy (~init time, once).
+
+    env: subprocess environment override (tests); None inherits, keeping
+    the image's sitecustomize so the probe sees the REAL backend."""
+    import subprocess
+
+    code = ("import jax; ds = jax.devices(); "
+            "print('WATCHDOG_OK', [d.platform for d in ds], flush=True)")
+    for k in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s, env=env)
+        except subprocess.TimeoutExpired:
+            log(f"[bench] device watchdog: backend init exceeded {timeout_s}s"
+                f" (attempt {k + 1}/{attempts}) — tunnel down?")
+            continue
+        if r.returncode == 0 and "WATCHDOG_OK" in r.stdout:
+            log("[bench] device watchdog: "
+                + r.stdout.strip().splitlines()[-1])
+            return
+        log(f"[bench] device watchdog: probe rc={r.returncode}, stderr tail: "
+            + r.stderr[-500:])
+    log("[bench] FATAL: device backend unreachable — aborting before the "
+        "timed sections (no JSON; rerun when the tunnel recovers)")
+    sys.exit(2)
+
+
 # 512 chains: the measured SGS ESS/sec optimum on v5e-1 (aggregate it/s is
 # flat in chain count — the batched pipeline is throughput-bound — but
 # independent-chain count buys ESS until it plateaus at 512; scaling table
@@ -256,6 +289,7 @@ N_CHAINS_SGS = 512
 
 
 def main():
+    _device_watchdog()
     p = build_problem()
     chain = make_chain(p)
     chain.set_crf_data_weight()

@@ -29,6 +29,46 @@ class TestBenchPieces:
         assert single > 0 and farm_rate >= single
 
 
+class TestDeviceWatchdog:
+    """bench aborts fast (rc 2) when backend init hangs, passes when healthy
+    (the tunneled axon backend blocks indefinitely when the tunnel is down —
+    the watchdog is what keeps the driver's bench step bounded)."""
+
+    def test_healthy_backend_passes(self):
+        import os
+
+        import bench
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        # drop the axon sitecustomize: its register() re-pins the remote
+        # backend at interpreter start, ignoring JAX_PLATFORMS
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if "axon" not in p)
+        bench._device_watchdog(timeout_s=120, attempts=1, env=env)
+
+    def test_hung_backend_exits_2(self):
+        import pytest
+
+        import bench
+
+        # 1 ms: interpreter start alone exceeds it -> TimeoutExpired path
+        with pytest.raises(SystemExit) as e:
+            bench._device_watchdog(timeout_s=0.001, attempts=2)
+        assert e.value.code == 2
+
+    def test_broken_probe_exits_2(self):
+        import os
+
+        import bench
+        import pytest
+
+        env = dict(os.environ, PYTHONPATH="", PYTHONHOME="/nonexistent")
+        with pytest.raises(SystemExit) as e:
+            bench._device_watchdog(timeout_s=30, attempts=1, env=env)
+        assert e.value.code == 2
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import jax
