@@ -52,7 +52,13 @@ class TestKernelParity:
     @pytest.mark.parametrize("center", [(32, 32), (0, 0), (63, 63), (2, 40),
                                         (63, 5)])
     @pytest.mark.parametrize("u", [0.0, 0.999])
-    def test_injected_proposal_matches_reference(self, center, u):
+    # (12, 8): the production (even-ified) case.  (11, 7): odd sizes never
+    # come out of the reference's block menu (w//2*2, MCMC.py:579), but the
+    # kernel's floor-division bounds must still match the reference's
+    # int-truncation bounds at clipped corners (they do — the clamp absorbs
+    # the floor-vs-truncate difference at negative offsets).
+    @pytest.mark.parametrize("hw", [(12, 8), (11, 7)])
+    def test_injected_proposal_matches_reference(self, center, u, hw):
         p = make_synthetic_problem(H=64, W=64)
         chain = build_small_chain(p)
         static, consts = chain.build()
@@ -61,7 +67,7 @@ class TestKernelParity:
 
         B = static.rf.B
         rng = np.random.default_rng(7)
-        w, h = 8, 12
+        h, w = hw
         canvas = np.zeros((B, B), np.float32)
         canvas[:h, :w] = rng.normal(0, 30, (h, w)).astype(np.float32)
         cx, cy = center
