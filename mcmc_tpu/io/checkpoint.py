@@ -156,6 +156,7 @@ class CheckpointManager:
         return sorted((it, kind, paths) for it, (kind, paths) in out.items())
 
     def latest_iter(self) -> Optional[int]:
+        """Cumulative iteration of the newest complete checkpoint, or None."""
         cps = self._checkpoints()
         return cps[-1][0] if cps else None
 
@@ -299,6 +300,10 @@ class CheckpointManager:
     # -- history at every checkpoint) ---------------------------------------
 
     def append_history(self, start_row: int, end_row: int, rows: dict):
+        """Write one incremental ``hist_{a}_{b}.npz`` trace segment (the
+        reference's concat-with-previous results protocol,
+        largeScaleChain_multiprocessing.py:206-231, without rewriting the
+        full history each save)."""
         if end_row <= start_row:
             return None
         fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")

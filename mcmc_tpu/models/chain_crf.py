@@ -739,6 +739,8 @@ class ChainCRF:
     # --- reference-parity setters ------------------------------------------
 
     def set_update_region(self, update_in_region, region_mask=None):
+        """Restrict proposals/updates to ``region_mask`` cells (reference
+        chain.set_update_region, MCMC.py:849-872)."""
         self.update_in_region = bool(update_in_region)
         if not update_in_region:
             self.region_mask = np.ones(self.xx.shape, np.float32)
@@ -784,6 +786,9 @@ class ChainCRF:
                 "aggregators are dead code, MCMC.py:986-1012)")
 
     def set_update_type(self, block_type):
+        """Proposal family: 'RF' (plain blocks) or 'CRF_weight'
+        (logistic-data-weighted blocks); 'CRF_rbf' raises like the
+        reference (chain_crf.set_update_type, MCMC.py:1098-1122)."""
         if block_type not in ("CRF_weight", "RF", "CRF_rbf"):
             raise ValueError(
                 "The block_type argument should be one of the following: "
@@ -845,13 +850,19 @@ class ChainCRF:
         return loss_mc + loss_data, loss_mc, loss_data
 
     def set_random_generator(self, rng_seed=None):
+        """Seed the chain's PRNG key (replaces the reference's NumPy
+        Generator plumbing, MCMC.py:1046-1066; the key IS the RNG state)."""
         self._key = as_key(rng_seed)
 
     def set_sample_points_locations(self, loc):
+        """(n, 2) (x, y) posterior probe points traced every iteration
+        (reference MCMC.py:1068-1081; nearest-cell lookup, quirk #7)."""
         self.sample_loc = None if loc is None else np.asarray(loc)
 
     def configure_randfield(self, rf_cfg: RandFieldConfig, block_cfg: BlockMenuConfig,
                             weight_cfg: WeightConfig):
+        """Attach the proposal engine's typed configs (the reference's
+        RandField + set_block_sizes + set_weight_param trio)."""
         self._rf_cfg = rf_cfg
         self._block_cfg = block_cfg
         self._weight_cfg = weight_cfg
@@ -870,6 +881,9 @@ class ChainCRF:
         return ij
 
     def build(self):
+        """Compile the configured chain to its functional form:
+        (CRFStatic, CRFConsts) consumed by make_step/run_chain and the
+        multi-chain sampler."""
         if self.sigma_mc is None:
             raise ValueError("call set_loss_type before building the chain")
         if self._rf_cfg is None:

@@ -739,6 +739,8 @@ class ChainSGS:
     # --- setters (reference parity) ----------------------------------------
 
     def set_update_region(self, update_in_region, region_mask=None):
+        """Restrict proposal centers to ``region_mask`` cells (reference
+        chain.set_update_region, MCMC.py:849-872)."""
         self.update_in_region = bool(update_in_region)
         if not update_in_region:
             self.region_mask = np.ones(self.xx.shape, np.float32)
@@ -751,16 +753,24 @@ class ChainSGS:
             self.region_mask = region_mask.astype(np.float32)
 
     def set_loss_type(self, sigma_mc=-1, massConvInRegion=True):
+        """Gaussian mass-conservation loss config (reference
+        chain.set_loss_type, MCMC.py:950-1018)."""
         cfg = LossConfig(sigma_mc=sigma_mc, mass_conv_in_region=massConvInRegion)
         self.sigma_mc = cfg.sigma_mc
         self.mc_region_mask = (self.region_mask if massConvInRegion
                                else np.ones(self.xx.shape, np.float32))
 
     def set_normal_transformation(self, nst_trans, do_transform=True):
+        """Attach the normal-score transform applied to the (detrended)
+        state (reference chain_sgs.set_normal_transformation,
+        MCMC.py:1465-1480; accepts ops.transforms.NormalScoreTransform)."""
         self.do_transform = bool(do_transform)
         self.nst_trans = nst_trans if do_transform else None
 
     def set_trend(self, trend=None, detrend_map=True):
+        """Smooth trend surface subtracted before transform/simulation and
+        re-added for physics (reference chain_sgs.set_trend,
+        MCMC.py:1482-1503)."""
         if detrend_map:
             trend = np.asarray(trend) if trend is not None else None
             if trend is None or trend.shape != self.xx.shape:
@@ -774,6 +784,8 @@ class ChainSGS:
 
     def set_variogram(self, vario_type, vario_range, vario_sill, vario_nugget,
                       isotropic=True, vario_smoothness=None, vario_azimuth=None):
+        """Variogram model of the transformed residual field (reference
+        chain_sgs.set_variogram, MCMC.py:1505-1543)."""
         if isotropic:
             self.vario = VariogramConfig.isotropic(
                 vario_type, vario_range, vario_sill, vario_nugget,
@@ -792,6 +804,8 @@ class ChainSGS:
 
     def set_sgs_param(self, sgs_num_nearest_neighbors, sgs_searching_radius,
                       sgs_rand_dropout_on=False, dropout_rate=0.0):
+        """SGS conditioning knobs (reference chain_sgs.set_sgs_param,
+        MCMC.py:1545-1561)."""
         # Both knobs shape the proposal (reference MCMC.py:1545-1561 applies
         # them per simulated cell; here they bound the JOINT conditioning
         # set): the draw conditions on the num_neighbors nearest
@@ -806,6 +820,9 @@ class ChainSGS:
 
     def set_block_sizes(self, block_min_x, block_max_x, block_min_y,
                         block_max_y):
+        """Half-open per-axis bounds of the uniformly drawn re-simulation
+        block sizes (reference chain_sgs.set_block_sizes,
+        MCMC.py:1563-1597)."""
         self.block_min_x, self.block_max_x = int(block_min_x), int(block_max_x)
         self.block_min_y, self.block_max_y = int(block_min_y), int(block_max_y)
 
@@ -822,9 +839,13 @@ class ChainSGS:
         return loss_mc, loss_mc, 0.0
 
     def set_random_generator(self, rng_seed=None):
+        """Seed the chain's PRNG key (replaces the reference's NumPy
+        Generator plumbing, MCMC.py:1046-1066)."""
         self._key = as_key(rng_seed)
 
     def set_sample_points_locations(self, loc):
+        """(n, 2) (x, y) posterior probe points traced every iteration
+        (reference MCMC.py:1068-1081; nearest-cell lookup, quirk #7)."""
         self.sample_loc = None if loc is None else np.asarray(loc)
 
     # --- compilation --------------------------------------------------------
@@ -868,6 +889,9 @@ class ChainSGS:
         return out
 
     def build(self):
+        """Compile the configured chain to its functional form:
+        (SGSStatic, SGSConsts) consumed by make_sgs_step/run_sgs_chain and
+        the multi-chain sampler."""
         if self.sigma_mc is None:
             raise ValueError("call set_loss_type before building the chain")
         if self.vario is None:

@@ -200,6 +200,8 @@ class RandField:
         self._built = None
 
     def set_generation_method(self, spectral):
+        """True -> FFT spectral synthesis, False -> the gstools-SRF
+        randomization method (reference MCMC.py:514-522; ops/srf.py)."""
         import dataclasses as _dc
 
         self.config = _dc.replace(self.config, spectral=bool(spectral))
@@ -207,6 +209,8 @@ class RandField:
 
     def set_block_sizes(self, min_block_x, max_block_x, min_block_y,
                         max_block_y, steps=5):
+        """Discrete block-size menu, steps^2 even-ified (w//2*2) pairs
+        (reference RandField.set_block_sizes, MCMC.py:524-581)."""
         from ..utils.config import BlockMenuConfig
 
         self._blocks = BlockMenuConfig(min_block_x, max_block_x, min_block_y,
@@ -215,6 +219,8 @@ class RandField:
 
     def set_weight_param(self, logis_func_L, logis_func_x0, logis_func_k,
                          logis_func_offset, max_dist, resolution):
+        """Logistic edge/conditioning-weight parameters; precomputes the
+        per-size edge masks (reference set_weight_param, MCMC.py:544-565)."""
         from ..utils.config import WeightConfig
 
         if self._blocks is None:
@@ -242,9 +248,12 @@ class RandField:
         return np.asarray(self._ensure_built()[1].pairs)
 
     def get_block_sizes(self):
+        """(2, steps^2) (width, height) menu (reference MCMC.py:568-581)."""
         return make_block_menu(self._blocks)
 
     def get_edge_masks(self):
+        """Per-block-size logistic edge-decay masks, trimmed to each
+        (height, width) like the reference list (MCMC.py:583-623)."""
         static, arrays = self._ensure_built()
         masks = np.asarray(arrays.edge_masks)
         pairs = np.asarray(arrays.pairs)
@@ -252,6 +261,9 @@ class RandField:
                 for i in range(pairs.shape[1])]
 
     def get_crf_weight(self, xx, yy, cond_data_mask):
+        """Conditioning weight from a data mask: exact EDT distance +
+        min-shifted logistic (reference MCMC.py:689-714). Returns
+        (weight, dist, dist_rescale, dist_logi)."""
         from ..ops.distance import min_dist_from_mask
         from ..ops.logistic import crf_weight_from_dist
 
@@ -263,6 +275,8 @@ class RandField:
         return np.asarray(w), dist, np.asarray(dr), np.asarray(dl)
 
     def get_crf_weight_from_dist(self, xx, yy, dist):
+        """Conditioning weight from a precomputed distance map (reference
+        MCMC.py:716-740). Returns (weight, dist, dist_rescale, dist_logi)."""
         from ..ops.logistic import crf_weight_from_dist
 
         wc = self._weights

@@ -82,6 +82,7 @@ class NormalScoreTransform:
     # seconds each, and LUT construction needs thousands of evaluations)
 
     def transform_np(self, x):
+        """Exact host (NumPy/SciPy) twin of ``transform``."""
         from scipy.special import ndtri as _ndtri
 
         q = np.asarray(self.quantiles, np.float64)
@@ -100,6 +101,7 @@ class NormalScoreTransform:
         return np.where(np.isnan(xj), np.nan, out)
 
     def inverse_np(self, z):
+        """Exact host (NumPy/SciPy) twin of ``inverse``."""
         from scipy.special import ndtr as _ndtr
 
         q = np.asarray(self.quantiles, np.float64)
@@ -144,6 +146,7 @@ class NormalScoreLUT:
 
     @classmethod
     def from_transform(cls, nst: NormalScoreTransform, n: int = 4096):
+        """Build uniform-grid LUTs (n knots) from a fitted transform."""
         q = np.asarray(nst.quantiles, np.float64)
         xg = np.linspace(q[0], q[-1], n)
         zg = nst.transform_np(xg)
@@ -178,9 +181,11 @@ class NormalScoreLUT:
         return jnp.where(jnp.isnan(jnp.asarray(x)), jnp.nan, y)
 
     def transform(self, x):
+        """Data values -> scores via the uniform-grid LUT (one pair-gather)."""
         return self._lookup(x, self.fwd_lo, self.fwd_scale, self.fwd_table)
 
     def inverse(self, z):
+        """Scores -> data values via the uniform-grid LUT."""
         return self._lookup(z, self.inv_lo, self.inv_scale, self.inv_table)
 
     def tree_flatten(self):

@@ -365,6 +365,8 @@ class MultiChainSampler:
     # -- execution ----------------------------------------------------------
 
     def run_segment(self, states: ChainState, n_steps: int, save_beds=False):
+        """One compiled segment of ``n_steps`` MH steps; returns
+        (states, traces) with traces on the true (unpadded) domain."""
         states, traces = run_chains(self.static, self.consts, states,
                                     int(n_steps), bool(save_beds), self.impl)
         if self.padded and "bed" in traces:

@@ -111,6 +111,7 @@ class VariogramConfig:
 
     @classmethod
     def isotropic(cls, vtype, vrange, sill, nugget, smoothness=None):
+        """Isotropic model: major_range == minor_range, azimuth 0."""
         return cls(vtype=vtype, major_range=vrange, minor_range=vrange, sill=sill,
                    nugget=nugget, azimuth=0.0, smoothness=smoothness)
 

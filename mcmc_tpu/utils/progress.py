@@ -56,6 +56,7 @@ class MultiChainProgress:
         self._primed = False
 
     def update(self, done_iter: int, losses, accepts):
+        """Redraw the per-chain block from current losses/accept flags."""
         losses = np.asarray(losses)
         accepts = np.asarray(accepts, float)
         elapsed = max(time.time() - self.t0, 1e-9)
