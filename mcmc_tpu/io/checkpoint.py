@@ -27,6 +27,15 @@ layout can never shadow or mix with the new one.  ``load`` reassembles the full
 arrays from all shard files (shared filesystem assumed, as on TPU pods);
 replicated shards (e.g. over a ``grid`` mesh axis) are deduplicated by
 their global index.
+
+Async writes (``CheckpointManager(..., async_write=True)``): the state is
+snapshotted to host synchronously, then compression + atomic write +
+publish + superseded-file cleanup run on one background worker thread —
+the sampler's next segment overlaps the checkpoint IO.  Ordering is
+preserved (single worker, submission order); readers flush the queue
+first; ``flush()`` re-raises the first write failure.  The sharded
+multi-process path stays synchronous (its barriers must sit at the same
+point of every process's program order).
 """
 
 from __future__ import annotations
@@ -113,10 +122,52 @@ class CheckpointManager:
     shard files + a completion marker (module docstring).
     """
 
-    def __init__(self, directory, keep: int = 1):
+    def __init__(self, directory, keep: int = 1, async_write: bool = False):
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.keep = int(keep)
+        # async_write=True: single-file saves and history appends snapshot
+        # the state to host synchronously (donation-safe) but compress,
+        # write, publish, and clean up on ONE background worker thread, so
+        # the sampler keeps stepping during checkpoint IO.  Writes publish
+        # in submission order; readers (load/latest_iter/load_history)
+        # flush the queue first.  Sharded multi-process saves stay
+        # synchronous: their correctness rests on cross-process barriers
+        # at fixed points of every process's program order.
+        self.async_write = bool(async_write)
+        self._executor = None
+        self._pending = []
+
+    # -- async write machinery ----------------------------------------------
+
+    def _submit(self, fn):
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mcmc_tpu-ckpt")
+        # fail fast: a write that already failed surfaces at the NEXT
+        # submit (not only at the end-of-run flush), so a dead disk does
+        # not silently discard every later checkpoint of a long run
+        for f in self._pending:
+            if f.done() and f.exception() is not None:
+                self.flush()  # drains the queue and raises that failure
+        self._pending.append(self._executor.submit(fn))
+
+    def flush(self):
+        """Block until queued async writes are durable; re-raise the first
+        write failure (so a failed checkpoint cannot pass silently).
+        No-op in synchronous mode."""
+        pending, self._pending = self._pending, []
+        err = None
+        for f in pending:
+            try:
+                f.result()
+            except Exception as e:  # surface the FIRST failure, drain all
+                if err is None:
+                    err = e
+        if err is not None:
+            raise err
 
     # -- discovery ----------------------------------------------------------
 
@@ -157,6 +208,7 @@ class CheckpointManager:
 
     def latest_iter(self) -> Optional[int]:
         """Cumulative iteration of the newest complete checkpoint, or None."""
+        self.flush()
         cps = self._checkpoints()
         return cps[-1][0] if cps else None
 
@@ -183,8 +235,14 @@ class CheckpointManager:
         if sharded is None:
             sharded = jax.process_count() > 1
         if sharded:
+            # ordering: any queued single-file writes must land before a
+            # (synchronous, barrier-ordered) sharded save
+            self.flush()
             return self._save_sharded(cumulative_iter, states, histories,
                                       meta)
+        # host snapshot is synchronous even in async mode: it pins this
+        # iteration's values regardless of later donation/deletion of the
+        # device buffers
         arrays = _state_to_arrays(states)
         payload = {f"state_{k}": v for k, v in arrays.items()}
         if histories:
@@ -194,33 +252,40 @@ class CheckpointManager:
             json.dumps({"cumulative_iter": int(cumulative_iter),
                         "state_class": type(states).__name__,
                         **(meta or {})}).encode(), dtype=np.uint8)
-
-        old = self._checkpoints()
-        # retract any stale sharded set at this iteration BEFORE the new
-        # single file becomes visible (sharded beats single in discovery,
-        # so a crash or concurrent reader in a publish-then-retract window
-        # would resolve to the stale sharded state and silently shadow the
-        # fresh file; _save_sharded orders retract-before-write too).
-        # Marker first, so the stale set never looks complete mid-delete.
         it = int(cumulative_iter)
-        (self.dir / f"checkpoint_{it}.ok").unlink(missing_ok=True)
-        for p in list(self.dir.iterdir()):
-            m = _SHARD_RE.search(p.name)
-            if m and int(m.group(1)) == it:
-                p.unlink(missing_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                np.savez_compressed(fh, **payload)
-            target = self.dir / f"checkpoint_{it}.npz"
-            os.replace(tmp, target)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-        # delete superseded checkpoints only after the new one is durable
-        for it, _kind, _paths in old[: max(0, len(old) - (self.keep - 1))]:
-            if it != int(cumulative_iter):
-                self._delete_iter_files(it)
+        target = self.dir / f"checkpoint_{it}.npz"
+
+        def _write():
+            old = self._checkpoints()
+            # retract any stale sharded set at this iteration BEFORE the new
+            # single file becomes visible (sharded beats single in discovery,
+            # so a crash or concurrent reader in a publish-then-retract window
+            # would resolve to the stale sharded state and silently shadow the
+            # fresh file; _save_sharded orders retract-before-write too).
+            # Marker first, so the stale set never looks complete mid-delete.
+            (self.dir / f"checkpoint_{it}.ok").unlink(missing_ok=True)
+            for p in list(self.dir.iterdir()):
+                m = _SHARD_RE.search(p.name)
+                if m and int(m.group(1)) == it:
+                    p.unlink(missing_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    np.savez_compressed(fh, **payload)
+                os.replace(tmp, target)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+            # delete superseded checkpoints only after the new one is durable
+            for old_it, _kind, _paths in old[: max(0, len(old)
+                                                   - (self.keep - 1))]:
+                if old_it != it:
+                    self._delete_iter_files(old_it)
+
+        if self.async_write:
+            self._submit(_write)
+        else:
+            _write()
         return target
 
     def _save_sharded(self, cumulative_iter: int, states,
@@ -306,16 +371,23 @@ class CheckpointManager:
         full history each save)."""
         if end_row <= start_row:
             return None
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                np.savez_compressed(fh, **{k: np.asarray(v)
-                                           for k, v in rows.items()})
-            target = self.dir / f"hist_{int(start_row)}_{int(end_row)}.npz"
-            os.replace(tmp, target)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        rows_np = {k: np.asarray(v) for k, v in rows.items()}
+        target = self.dir / f"hist_{int(start_row)}_{int(end_row)}.npz"
+
+        def _write():
+            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    np.savez_compressed(fh, **rows_np)
+                os.replace(tmp, target)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+
+        if self.async_write:
+            self._submit(_write)
+        else:
+            _write()
         return target
 
     def prune_history(self, from_row: int):
@@ -327,6 +399,7 @@ class CheckpointManager:
         truncated tail).  Segments always start exactly at a state-save
         boundary (append_history runs inside the same flush), so
         ``start >= from_row`` identifies exactly the crash-window ones."""
+        self.flush()
         for p in list(self.dir.iterdir()):
             m = _HIST_RE.search(p.name)
             if m and int(m.group(1)) >= int(from_row):
@@ -336,6 +409,7 @@ class CheckpointManager:
         """Concatenate history segment files (chain-major axis=1), truncated
         to ``upto`` rows (a crash between a history append and the state
         save can leave a trailing partial segment)."""
+        self.flush()
         segs = []
         for p in self.dir.iterdir():
             m = _HIST_RE.search(p.name)
@@ -410,6 +484,7 @@ class CheckpointManager:
 
     def load(self, cumulative_iter: Optional[int] = None):
         """Returns (cumulative_iter, states, histories, meta) or None."""
+        self.flush()
         cps = self._checkpoints()
         if not cps:
             return None
@@ -447,7 +522,8 @@ class CheckpointManager:
 def run_with_checkpointing(sampler, n_iter: int, directory,
                            seeds=None, initial_beds=None,
                            segment_size: int = 2000, progress: bool = False,
-                           checkpoint_every: Optional[int] = None):
+                           checkpoint_every: Optional[int] = None,
+                           async_checkpoints: bool = False):
     """Segment-batched run with resume (reference lsc_run_wrapper protocol).
 
     If a checkpoint exists in ``directory``, the run resumes from it and only
@@ -456,8 +532,12 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
     its full trace including its initial row,
     largeScaleChain_multiprocessing.py:206-231).
     Returns (states, histories, cumulative_iter).
+
+    ``async_checkpoints=True`` overlaps checkpoint compression/IO with the
+    next compiled segment (single-process runs; see CheckpointManager).
+    All writes are flushed — and any write failure raised — before return.
     """
-    mgr = CheckpointManager(directory)
+    mgr = CheckpointManager(directory, async_write=async_checkpoints)
     ck = mgr.load()
     if ck is not None:
         done, states, histories, _ = ck
@@ -549,5 +629,6 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
     states, _ = sampler.run(states, run_len, segment_size=segment_size,
                             progress=progress, segment_callback=cb)
     _flush(states)
+    mgr.flush()  # async mode: final save durable (or raised) before return
     cum = done + remaining
     return states, histories, cum

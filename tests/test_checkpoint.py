@@ -260,6 +260,76 @@ class TestRound3ReviewFixes:
                                    segment_size=10)
 
 
+class TestAsyncCheckpoint:
+    """async_write=True: background write/publish/cleanup must be
+    indistinguishable on disk from the synchronous path."""
+
+    def test_async_save_equals_sync(self, tmp_path):
+        s = make_sampler()
+        states = s.init(seeds=3)
+        hist = {"loss": np.arange(34, dtype=np.float32).reshape(2, 17)}
+        sync = CheckpointManager(tmp_path / "sync")
+        sync.save(17, states, hist, meta={"tag": "x"})
+        amgr = CheckpointManager(tmp_path / "async", async_write=True)
+        amgr.save(17, states, hist, meta={"tag": "x"})
+        amgr.flush()
+        i1, st1, h1, m1 = sync.load()
+        i2, st2, h2, m2 = amgr.load()
+        assert i1 == i2 and m1 == m2
+        np.testing.assert_array_equal(np.asarray(st1.bed), np.asarray(st2.bed))
+        np.testing.assert_array_equal(h1["loss"], h2["loss"])
+
+    def test_async_ordering_and_cleanup(self, tmp_path):
+        """Queued saves publish in order; keep-cleanup leaves only the
+        newest; readers flush the queue first (no explicit flush call)."""
+        s = make_sampler()
+        states = s.init(seeds=3)
+        mgr = CheckpointManager(tmp_path, async_write=True)
+        for it in (10, 20, 30):
+            mgr.save(it, states)
+        assert mgr.latest_iter() == 30  # flushes internally
+        assert [it for it, _, _ in mgr._checkpoints()] == [30]
+
+    def test_async_write_failure_raises(self, tmp_path, monkeypatch):
+        s = make_sampler()
+        states = s.init(seeds=3)
+        mgr = CheckpointManager(tmp_path, async_write=True)
+
+        import numpy as _np
+        real = _np.savez_compressed
+
+        def boom(*a, **k):
+            raise OSError("disk gone")
+
+        monkeypatch.setattr(_np, "savez_compressed", boom)
+        mgr.save(10, states)
+        with pytest.raises(OSError, match="disk gone"):
+            mgr.flush()
+        monkeypatch.setattr(_np, "savez_compressed", real)
+        # the queue is drained after the raise; the manager stays usable
+        mgr.save(20, states)
+        assert mgr.latest_iter() == 20
+
+    def test_run_with_async_checkpoints_resume_bitwise(self, tmp_path):
+        """Interrupted async-checkpointed run + resume == uninterrupted
+        (the invariant the synchronous path already guarantees)."""
+        s1 = make_sampler()
+        st = s1.init(seeds=9)
+        _, full = s1.run(st, n_iter=60, segment_size=20, progress=False)
+
+        d = tmp_path / "ck"
+        _, h1, c1 = run_with_checkpointing(make_sampler(), 30, d, seeds=9,
+                                           segment_size=20,
+                                           async_checkpoints=True)
+        assert c1 == 30 and h1["loss"].shape == (2, 30)
+        _, h2, c2 = run_with_checkpointing(make_sampler(), 60, d, seeds=9,
+                                           segment_size=20,
+                                           async_checkpoints=True)
+        assert c2 == 60
+        np.testing.assert_array_equal(h2["loss"], full["loss"])
+        np.testing.assert_array_equal(h2["step"], full["step"])
+
+
 def test_ess_single_chain_finite():
     """ess() on a single chain must split-in-half, not return NaN."""
     from mcmc_tpu.parallel.diagnostics import ess
