@@ -59,7 +59,8 @@ def large_scale_chain_farm(chain, n_chains: int, initial_beds=None,
                            output_path="./Data/output",
                            segment_size: int = 2000,
                            checkpoint_every: Optional[int] = None,
-                           progress: bool = True, quiet: bool = False):
+                           progress: bool = True, quiet: bool = False,
+                           async_checkpoints: bool = False):
     """Run (or resume) a farm of large-scale chains.
 
     chain: a configured ChainCRF prototype (the reference ships prototype
@@ -75,7 +76,8 @@ def large_scale_chain_farm(chain, n_chains: int, initial_beds=None,
     states, hist, cum = run_with_checkpointing(
         sampler, n_iter, ckpt_dir, seeds=rng_seeds, initial_beds=initial_beds,
         segment_size=segment_size, progress=progress,
-        checkpoint_every=checkpoint_every)
+        checkpoint_every=checkpoint_every,
+        async_checkpoints=async_checkpoints)
     if not quiet:
         print(_DONE_ART)
         print(f"Completed {cum} iterations x {n_chains} chains "
@@ -90,7 +92,8 @@ def small_scale_chain_farm(chain, n_chains: int, initial_beds=None,
                            output_path="./Data/output",
                            segment_size: int = 500,
                            checkpoint_every: Optional[int] = None,
-                           progress: bool = True, quiet: bool = False):
+                           progress: bool = True, quiet: bool = False,
+                           async_checkpoints: bool = False):
     """Run (or resume) a farm of small-scale (SGS) chains.
 
     Mirrors smallScaleChain_mp: ``initial_beds`` typically come from
@@ -111,7 +114,8 @@ def small_scale_chain_farm(chain, n_chains: int, initial_beds=None,
     states, hist, cum = run_with_checkpointing(
         sampler, n_iter, ckpt_dir, seeds=ssc_rng_seeds,
         initial_beds=initial_beds, segment_size=segment_size,
-        progress=progress, checkpoint_every=checkpoint_every)
+        progress=progress, checkpoint_every=checkpoint_every,
+        async_checkpoints=async_checkpoints)
     if not quiet:
         print(_DONE_ART)
         print(f"Completed {cum} iterations x {n_chains} chains "

@@ -65,6 +65,28 @@ class TestFarms:
                 "SmallScaleChain").exists()
 
 
+def test_farm_async_checkpoints_matches_sync(tmp_path):
+    """async_checkpoints passes through the farm driver and changes
+    nothing about the results."""
+    p = make_synthetic_problem(H=64, W=64)
+    r_sync = large_scale_chain_farm(
+        build_small_chain(p), n_chains=2, rng_seeds=7, n_iter=30,
+        output_path=tmp_path / "sync", segment_size=15, progress=False,
+        quiet=True)
+    r_async = large_scale_chain_farm(
+        build_small_chain(p), n_chains=2, rng_seeds=7, n_iter=30,
+        output_path=tmp_path / "async", segment_size=15, progress=False,
+        quiet=True, async_checkpoints=True)
+    np.testing.assert_array_equal(r_async[0][3], r_sync[0][3])
+    np.testing.assert_array_equal(r_async[0][0], r_sync[0][0])
+    # and the async run's checkpoint is durable + resumable
+    r2 = large_scale_chain_farm(
+        build_small_chain(p), n_chains=2, rng_seeds=7, n_iter=60,
+        output_path=tmp_path / "async", segment_size=15, progress=False,
+        quiet=True, async_checkpoints=True)
+    np.testing.assert_array_equal(r2[0][3][:30], r_sync[0][3])
+
+
 def test_iteration_batches():
     assert iteration_batches(5000) == [5000]
     assert iteration_batches(150_000) == [60_000] + [10_000] * 9
