@@ -54,6 +54,23 @@ import jax
 
 from ..models.chain_crf import ChainState
 
+def _atomic_npz(directory: Path, target: Path, payload: dict):
+    """Write ``payload`` as a compressed npz at ``target`` atomically:
+    tmp file in the same directory, fsync, rename (published name never
+    holds partial data, even across a crash)."""
+    fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez_compressed(fh, **payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, target)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return target
+
+
 _CKPT_RE = re.compile(r"checkpoint_(\d+)\.npz$")
 _HIST_RE = re.compile(r"hist_(\d+)_(\d+)\.npz$")
 _SHARD_RE = re.compile(r"checkpoint_(\d+)\.proc(\d+)of(\d+)\.npz$")
@@ -137,6 +154,14 @@ class CheckpointManager:
         self.async_write = bool(async_write)
         self._executor = None
         self._pending = []
+        # poison marker: once any queued write fails, LATER queued writes
+        # are skipped (not executed) until flush() surfaces the failure.
+        # Without it a failed history-segment write followed by a
+        # succeeding state save would publish a checkpoint whose preceding
+        # trace rows never landed — a silent permanent hole in resumed
+        # histories (prune_history only removes segments AHEAD of the
+        # state, never detects ones missing behind it).
+        self._write_failed = None
 
     # -- async write machinery ----------------------------------------------
 
@@ -152,11 +177,35 @@ class CheckpointManager:
         for f in self._pending:
             if f.done() and f.exception() is not None:
                 self.flush()  # drains the queue and raises that failure
-        self._pending.append(self._executor.submit(fn))
+        # prune completed writes so the list (and the scan above) stays O(1)
+        self._pending = [f for f in self._pending if not f.done()]
+
+        def _guarded():
+            if self._write_failed is not None:
+                return  # queue poisoned: never write past a failure
+            try:
+                fn()
+            except BaseException as e:
+                self._write_failed = e
+                raise
+
+        # backpressure: at most one write in flight + one queued.  Each
+        # queued task pins a full host state snapshot; a disk slower than
+        # segment compute must block the sampler, not grow the queue (and
+        # host RAM) without bound.
+        while len(self._pending) >= 2:
+            if self._pending[0].exception() is not None:  # blocks until done
+                # route through flush(): drains the (poison-skipped) rest,
+                # clears the poison so the manager stays usable, raises the
+                # first failure
+                self.flush()
+            self._pending.pop(0)
+        self._pending.append(self._executor.submit(_guarded))
 
     def flush(self):
         """Block until queued async writes are durable; re-raise the first
-        write failure (so a failed checkpoint cannot pass silently).
+        write failure (so a failed checkpoint cannot pass silently).  The
+        manager stays usable afterwards (the failure poison is cleared).
         No-op in synchronous mode."""
         pending, self._pending = self._pending, []
         err = None
@@ -166,6 +215,7 @@ class CheckpointManager:
             except Exception as e:  # surface the FIRST failure, drain all
                 if err is None:
                     err = e
+        self._write_failed = None
         if err is not None:
             raise err
 
@@ -231,7 +281,12 @@ class CheckpointManager:
              *, sharded: Optional[bool] = None):
         """Write a checkpoint.  ``sharded=None`` auto-selects: per-process
         shard files when ``jax.process_count() > 1`` (no host gather),
-        single npz otherwise."""
+        single npz otherwise.
+
+        Returns the target path.  In async mode the write is queued: the
+        path is guaranteed to exist (or the failure to raise) only after
+        ``flush()`` — until then it may be absent or still hold a
+        superseded same-iteration file."""
         if sharded is None:
             sharded = jax.process_count() > 1
         if sharded:
@@ -268,14 +323,7 @@ class CheckpointManager:
                 m = _SHARD_RE.search(p.name)
                 if m and int(m.group(1)) == it:
                     p.unlink(missing_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-            try:
-                with os.fdopen(fd, "wb") as fh:
-                    np.savez_compressed(fh, **payload)
-                os.replace(tmp, target)
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
+            _atomic_npz(self.dir, target, payload)
             # delete superseded checkpoints only after the new one is durable
             for old_it, _kind, _paths in old[: max(0, len(old)
                                                    - (self.keep - 1))]:
@@ -336,15 +384,9 @@ class CheckpointManager:
                 if m and int(m.group(1)) == it:
                     p.unlink(missing_ok=True)
         multihost_utils.sync_global_devices(f"mcmc_tpu_ckpt_{it}_retracted")
-        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-        try:
-            with os.fdopen(fd, "wb") as fh:
-                np.savez_compressed(fh, **payload)
-            target = self.dir / f"checkpoint_{it}.proc{pid}of{nproc}.npz"
-            os.replace(tmp, target)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        target = _atomic_npz(
+            self.dir, self.dir / f"checkpoint_{it}.proc{pid}of{nproc}.npz",
+            payload)
         # all shard files durable before the marker makes the set visible
         multihost_utils.sync_global_devices(f"mcmc_tpu_ckpt_{it}_written")
         if pid == 0:
@@ -368,21 +410,15 @@ class CheckpointManager:
         """Write one incremental ``hist_{a}_{b}.npz`` trace segment (the
         reference's concat-with-previous results protocol,
         largeScaleChain_multiprocessing.py:206-231, without rewriting the
-        full history each save)."""
+        full history each save).  In async mode the returned path is valid
+        only after ``flush()`` (see ``save``)."""
         if end_row <= start_row:
             return None
         rows_np = {k: np.asarray(v) for k, v in rows.items()}
         target = self.dir / f"hist_{int(start_row)}_{int(end_row)}.npz"
 
         def _write():
-            fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
-            try:
-                with os.fdopen(fd, "wb") as fh:
-                    np.savez_compressed(fh, **rows_np)
-                os.replace(tmp, target)
-            finally:
-                if os.path.exists(tmp):
-                    os.unlink(tmp)
+            _atomic_npz(self.dir, target, rows_np)
 
         if self.async_write:
             self._submit(_write)
@@ -626,9 +662,19 @@ def run_with_checkpointing(sampler, n_iter: int, directory,
             _flush(states_)
 
     run_len = remaining + (1 if resuming else 0)
-    states, _ = sampler.run(states, run_len, segment_size=segment_size,
-                            progress=progress, segment_callback=cb)
-    _flush(states)
+    try:
+        states, _ = sampler.run(states, run_len, segment_size=segment_size,
+                                progress=progress, segment_callback=cb)
+        _flush(states)
+    except BaseException:
+        # surfacing the primary error; still drain queued async writes so
+        # already-recorded rows are durable — but never mask that error
+        # with a secondary write failure
+        try:
+            mgr.flush()
+        except Exception:
+            pass
+        raise
     mgr.flush()  # async mode: final save durable (or raised) before return
     cum = done + remaining
     return states, histories, cum

@@ -310,6 +310,72 @@ class TestAsyncCheckpoint:
         mgr.save(20, states)
         assert mgr.latest_iter() == 20
 
+    def test_failed_history_write_poisons_queued_state_save(self, tmp_path,
+                                                            monkeypatch):
+        """A failed async history write must prevent the already-queued
+        state save from publishing — otherwise the checkpoint lands
+        without its preceding trace rows (a silent permanent hole that
+        prune_history cannot detect on resume)."""
+        mgr = CheckpointManager(tmp_path, async_write=True)
+        s = make_sampler()
+        states = s.init(seeds=3)
+
+        import numpy as _np
+        real = _np.savez_compressed
+        calls = {"n": 0}
+
+        def first_fails(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("disk gone")
+            return real(*a, **k)
+
+        monkeypatch.setattr(_np, "savez_compressed", first_fails)
+        mgr.append_history(0, 10, {"loss": np.zeros((2, 10))})
+        # the hist failure may surface at the save() submit (fail-fast)
+        # or at flush() — either way it must surface, and the state file
+        # must never publish
+        with pytest.raises(OSError, match="disk gone"):
+            mgr.save(10, states)
+            mgr.flush()
+        assert not list(tmp_path.glob("checkpoint_*"))
+        assert mgr.latest_iter() is None
+
+    def test_async_queue_backpressure(self, tmp_path, monkeypatch):
+        """At most one write in flight + one queued: a third save blocks
+        until the oldest completes (each queued write pins a full host
+        state snapshot — an unbounded queue would OOM a long run on a
+        slow disk)."""
+        import threading
+        import time as _time
+
+        mgr = CheckpointManager(tmp_path, async_write=True)
+        s = make_sampler()
+        states = s.init(seeds=3)
+
+        import numpy as _np
+        real = _np.savez_compressed
+        gate = threading.Event()
+        first = {"v": True}
+
+        def slow_first(*a, **k):
+            if first["v"]:
+                first["v"] = False
+                gate.wait(timeout=30)
+            return real(*a, **k)
+
+        monkeypatch.setattr(_np, "savez_compressed", slow_first)
+        mgr.save(10, states)   # starts, blocks on the gate
+        mgr.save(20, states)   # queued
+        assert len(mgr._pending) == 2
+        threading.Timer(0.3, gate.set).start()
+        t0 = _time.time()
+        mgr.save(30, states)   # must block until the first write finishes
+        assert _time.time() - t0 >= 0.2
+        assert len(mgr._pending) <= 2
+        mgr.flush()
+        assert mgr.latest_iter() == 30
+
     def test_run_with_async_checkpoints_resume_bitwise(self, tmp_path):
         """Interrupted async-checkpointed run + resume == uninterrupted
         (the invariant the synchronous path already guarantees)."""
