@@ -209,6 +209,20 @@ class TestSamplerExtras:
         assert tr["bed_thin"].shape[1] >= 4
         assert np.isfinite(tr["bed_thin"]).all()
 
+    def test_profile_dir_captures_trace(self, tmp_path):
+        """sampler.run(profile_dir=...) writes a jax.profiler trace of the
+        second segment (SURVEY §5.1 tracing evidence)."""
+        import os
+
+        p = make_synthetic_problem(H=64, W=64)
+        chain = build_small_chain(p)
+        s = MultiChainSampler(chain, n_chains=2, use_mesh=False)
+        st = s.init(seeds=1)
+        s.run(st, n_iter=30, segment_size=10, progress=False,
+              profile_dir=str(tmp_path))
+        files = [f for _, _, fs in os.walk(tmp_path) for f in fs]
+        assert any(f.endswith(".xplane.pb") for f in files), files
+
     def test_fancy_progress_renders(self, capsys):
         p = make_synthetic_problem(H=64, W=64)
         chain = build_small_chain(p)
