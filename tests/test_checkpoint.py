@@ -56,6 +56,22 @@ class TestCheckpoint:
         mgr.save(20, states)
         assert [it for it, _, _ in mgr._checkpoints()] == [20]
 
+    def test_keep_retains_n_newest(self, tmp_path):
+        """keep=N retains the N newest checkpoints (the reference keeps
+        only the latest; keep>1 is the safety margin for production runs
+        where the newest file may be suspect after a crash)."""
+        s = make_sampler()
+        states = s.init(seeds=3)
+        mgr = CheckpointManager(tmp_path, keep=2)
+        for it in (10, 20, 30, 40):
+            mgr.save(it, states)
+        assert [it for it, _, _ in mgr._checkpoints()] == [30, 40]
+        # both retained checkpoints load
+        it, loaded, _, _ = mgr.load(30)
+        assert it == 30
+        np.testing.assert_array_equal(np.asarray(loaded.bed),
+                                      np.asarray(states.bed))
+
     def test_resume_equals_uninterrupted(self, tmp_path):
         # uninterrupted
         s1 = make_sampler()
