@@ -17,7 +17,11 @@ import numpy as np
 import pandas as pd
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-from examples.synthetic_glacier import make_dataset  # noqa: E402
+from examples.synthetic_glacier import (  # noqa: E402
+    example_out,
+    make_dataset,
+    quick_mode,
+)
 
 from mcmc_tpu.data import (  # noqa: E402
     get_highvel_boundary,
@@ -25,8 +29,7 @@ from mcmc_tpu.data import (  # noqa: E402
     grid_data,
 )
 
-OUT = Path(__file__).with_name("data_out")
-OUT.mkdir(exist_ok=True)
+OUT = example_out(Path(__file__).with_name("data_out"))
 
 
 def main():
@@ -36,7 +39,8 @@ def main():
     # velx, vely, ex, ey = load_vel_measures("measures.nc", xx, yy, res)
     # bm_mask, bm_source, bm_bed, bm_surf, bm_err = load_bedmachine(...)
     # radar, excluded = load_radar("radar_csvs/", "compiled.csv")
-    ds = make_dataset(H=128, W=128)
+    hw = 64 if quick_mode() else 128
+    ds = make_dataset(H=hw, W=hw)
     print("synthetic stand-in dataset:", ds["xx"].shape)
 
     # --- stage 2: grid sparse picks (works on both real + synthetic) -------

@@ -13,17 +13,23 @@ import numpy as np
 from scipy.ndimage import gaussian_filter
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-from examples.synthetic_glacier import make_dataset  # noqa: E402
+from examples.synthetic_glacier import (  # noqa: E402
+    example_out,
+    make_dataset,
+    quick_mode,
+)
 
 from mcmc_tpu.drivers import small_scale_chain_farm  # noqa: E402
 from mcmc_tpu.models.chain_sgs import ChainSGS  # noqa: E402
 from mcmc_tpu.ops.transforms import NormalScoreTransform  # noqa: E402
 
-OUT = Path(__file__).with_name("data_out")
+OUT = example_out(Path(__file__).with_name("data_out"))
 
 
 def main():
-    ds = make_dataset(H=128, W=128)
+    quick = quick_mode()
+    hw = 64 if quick else 128
+    ds = make_dataset(H=hw, W=hw)
     res = ds["resolution"]
 
     # initial beds: large-scale chain finals if example 03 ran on the SAME
@@ -49,9 +55,7 @@ def main():
     chain = ChainSGS(ds["xx"], ds["yy"], beds[0], ds["surf"], ds["velx"],
                      ds["vely"], ds["dhdt"], ds["smb"], ds["cond_bed"],
                      ds["data_mask"], ds["grounded"], res)
-    chain.set_update_region(True, ds["highvel_mask"][:128, :128]
-                            if ds["highvel_mask"].shape[0] != 128
-                            else ds["highvel_mask"])
+    chain.set_update_region(True, ds["highvel_mask"])
     chain.set_loss_type(sigma_mc=5.0, massConvInRegion=True)
     chain.set_trend(trend, detrend_map=True)
     chain.set_normal_transformation(nst, do_transform=True)
@@ -61,8 +65,9 @@ def main():
 
     results = small_scale_chain_farm(
         chain, n_chains=2, initial_beds=beds, ssc_rng_seeds=[11, 22],
-        lsc_rng_seed=2026, n_iter=500, output_path=OUT / "ssc_run",
-        segment_size=250, quiet=True)
+        lsc_rng_seed=2026, n_iter=80 if quick else 500,
+        output_path=OUT / "ssc_run",
+        segment_size=80 if quick else 250, quiet=True)
 
     losses = np.stack([r[3] for r in results])
     steps = np.stack([r[4] for r in results])

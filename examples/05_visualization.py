@@ -15,13 +15,13 @@ import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-from examples.synthetic_glacier import make_dataset  # noqa: E402
+from examples.synthetic_glacier import example_out, make_dataset  # noqa: E402
 
 from mcmc_tpu.data import get_mass_conservation_residual  # noqa: E402
 from mcmc_tpu.geostats import experimental_variogram  # noqa: E402
 from mcmc_tpu.io import CheckpointManager  # noqa: E402
 
-OUT = Path(__file__).with_name("data_out")
+OUT = example_out(Path(__file__).with_name("data_out"))
 
 
 def main():

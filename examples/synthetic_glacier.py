@@ -8,7 +8,26 @@ without the restricted-access raw archives.  Swap `make_dataset` for
 RACMO / Bedmap files.
 """
 
+import os
+from pathlib import Path
+
 import numpy as np
+
+
+def quick_mode() -> bool:
+    """CI smoke switch: ``MCMC_TPU_EXAMPLE_QUICK=1`` makes every example
+    shrink its problem size / iteration count so the full 01->05 workflow
+    runs inside the test budget (tests/test_examples_pipeline.py)."""
+    return os.environ.get("MCMC_TPU_EXAMPLE_QUICK", "") not in ("", "0")
+
+
+def example_out(default) -> Path:
+    """The examples' output directory, overridable via
+    ``MCMC_TPU_EXAMPLE_OUT`` so CI smokes write to a temp dir instead of
+    the repo tree."""
+    p = Path(os.environ.get("MCMC_TPU_EXAMPLE_OUT", default))
+    p.mkdir(parents=True, exist_ok=True)
+    return p
 
 
 def make_dataset(H=256, W=256, resolution=500.0, seed=0, data_frac=0.01):
