@@ -67,12 +67,28 @@ def load_config(path) -> dict:
     """Load a JSON (.json) or TOML (.toml) experiment config."""
     path = Path(path)
     if path.suffix.lower() == ".toml":
-        import tomllib
-
+        try:
+            import tomllib
+        except ModuleNotFoundError:  # Python 3.10: no stdlib tomllib
+            raise RuntimeError(
+                "TOML configs need Python 3.11+ (stdlib tomllib); "
+                "use a JSON config on this interpreter") from None
         with open(path, "rb") as f:
             return tomllib.load(f)
     with open(path) as f:
         return json.load(f)
+
+
+def _resolve(config_dir: Path, p) -> Path:
+    """Resolve a config-relative path against the config file's directory."""
+    p = Path(p)
+    return p if p.is_absolute() else Path(config_dir) / p
+
+
+def _require(section: dict, prefix: str, keys) -> None:
+    missing = [k for k in keys if k not in section]
+    if missing:
+        raise ValueError(f"{prefix} is missing required keys: {missing}")
 
 
 def load_dataset(path) -> dict:
@@ -204,6 +220,7 @@ def _configure_sgs(chain, cfg: dict, ds: dict):
         chain.set_normal_transformation(None, do_transform=False)
 
     v = dict(sec["variogram"])
+    _require(v, "sgs.variogram", ("vtype", "range"))
     vrange = v.get("range")
     isotropic = bool(v.get("isotropic", not isinstance(vrange, (list, tuple))))
     chain.set_variogram(v["vtype"], vrange, v.get("sill", 1.0),
@@ -211,25 +228,41 @@ def _configure_sgs(chain, cfg: dict, ds: dict):
                         vario_smoothness=v.get("smoothness"),
                         vario_azimuth=v.get("azimuth"))
     p = sec["params"]
+    _require(p, "sgs.params", ("num_neighbors", "search_radius"))
     chain.set_sgs_param(int(p["num_neighbors"]), float(p["search_radius"]),
                         sgs_rand_dropout_on=bool(p.get("rand_dropout_on", False)),
                         dropout_rate=float(p.get("dropout_rate", 0.0)))
     b = sec["blocks"]
+    _require(b, "sgs.blocks", ("min_x", "max_x", "min_y", "max_y"))
     chain.set_block_sizes(b["min_x"], b["max_x"], b["min_y"], b["max_y"])
 
 
-def _load_initial_beds(farm: dict, ds: dict):
+def _load_initial_beds(farm: dict, ds: dict, config_dir: Path):
     spec = farm.get("initial_beds")
     if spec is None:
         return None
     if isinstance(spec, str) and spec in ds:
-        return ds[spec]
-    beds = np.load(Path(spec))
+        beds = ds[spec]
+    else:
+        beds = np.load(_resolve(config_dir, spec))
     n = int(farm.get("n_chains", 1))
     if beds.ndim == 3 and beds.shape[0] < n:
         raise ValueError(
             f"initial_beds has {beds.shape[0]} beds for n_chains={n}")
     return beds[:n] if beds.ndim == 3 else beds
+
+
+def build_experiment(cfg: dict, config_dir: Path = Path(".")):
+    """Validate the config and build everything short of sampling.
+
+    Returns ``(chain, ds, initial_beds)``; this is also the --dry-run body,
+    so a config that passes it has had every section (including dataset and
+    initial-bed paths) resolved and checked.
+    """
+    ds = load_dataset(_resolve(config_dir, cfg["dataset"]))
+    chain = build_chain(cfg, ds)
+    beds = _load_initial_beds(dict(cfg.get("farm", {})), ds, config_dir)
+    return chain, ds, beds
 
 
 def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
@@ -238,21 +271,16 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
     Relative paths in the config resolve against the config file's
     directory.  Returns the per-chain result tuples from the farm driver.
     """
-    def _resolve(p):
-        p = Path(p)
-        return p if p.is_absolute() else config_dir / p
-
-    ds = load_dataset(_resolve(cfg["dataset"]))
-    chain = build_chain(cfg, ds)
+    chain, ds, initial_beds = build_experiment(cfg, config_dir)
 
     farm = dict(cfg.get("farm", {}))
     n_chains = int(farm.get("n_chains", 1))
     n_iter = int(farm.get("n_iter", 1000))
     seeds = farm.get("rng_seeds")
-    out = _resolve(farm.get("output_path", "mcmc_tpu_run"))
+    out = _resolve(config_dir, farm.get("output_path", "mcmc_tpu_run"))
     common = dict(
         n_chains=n_chains, n_iter=n_iter, output_path=out,
-        initial_beds=_load_initial_beds(farm, ds),
+        initial_beds=initial_beds,
         segment_size=int(farm.get("segment_size", 1000)),
         checkpoint_every=farm.get("checkpoint_every"),
         async_checkpoints=bool(farm.get("async_checkpoints", False)),
@@ -271,11 +299,11 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
 
     save = cfg.get("save", {})
     if save.get("final_beds"):
-        np.save(_resolve(save["final_beds"]),
+        np.save(_resolve(config_dir, save["final_beds"]),
                 np.stack([r[0] for r in results]))
     if save.get("histories"):
         np.savez_compressed(
-            _resolve(save["histories"]),
+            _resolve(config_dir, save["histories"]),
             loss_mc=np.stack([r[1] for r in results]),
             loss_data=np.stack([r[2] for r in results]),
             loss=np.stack([r[3] for r in results]),
@@ -294,7 +322,9 @@ def _print_summary(results):
     print(f"[mcmc-tpu] loss: {losses[:, 0].mean():.6e} -> "
           f"{losses[:, -1].mean():.6e}")
     print(f"[mcmc-tpu] acceptance: {steps.mean(axis=1).round(3)}")
-    if losses.shape[0] >= 2 and losses.shape[1] >= 4:
+    # >= 5 so the post-burn slice [:, 1:] still yields half-chains of
+    # length >= 2 (ddof=1 variance of a single sample is NaN)
+    if losses.shape[0] >= 2 and losses.shape[1] >= 5:
         from .parallel import split_rhat
 
         print(f"[mcmc-tpu] split R-hat (loss): "
@@ -317,10 +347,7 @@ def main(argv=None) -> int:
     cfg_path = Path(ns.config)
     cfg = load_config(cfg_path)
     if ns.dry_run:
-        ds = load_dataset(
-            Path(cfg["dataset"]) if Path(cfg["dataset"]).is_absolute()
-            else cfg_path.parent / cfg["dataset"])
-        build_chain(cfg, ds)
+        _, ds, _ = build_experiment(cfg, config_dir=cfg_path.parent)
         if not ns.quiet:
             print(f"[mcmc-tpu] config OK: family={cfg['family']} "
                   f"grid={ds['xx'].shape} "

@@ -171,6 +171,60 @@ class TestCLI:
                  "update_region": {"in_region": True, "mask": "missing"}},
                 ds)
 
+    def test_initial_beds_config_relative_and_key_trim(self, tmp_path):
+        p, ds_path = _write_dataset(tmp_path)
+        ds = cli.load_dataset(ds_path)
+
+        # file path resolves against the CONFIG directory, not the CWD
+        beds = np.stack([p["initial_bed"]] * 3).astype(np.float32)
+        np.save(tmp_path / "mybeds.npy", beds)
+        got = cli._load_initial_beds(
+            {"initial_beds": "mybeds.npy", "n_chains": 2}, ds, tmp_path)
+        assert got.shape == (2, 48, 48)
+
+        # dataset-key beds get the same n_chains trim + count check
+        ds["beds16"] = beds
+        got = cli._load_initial_beds(
+            {"initial_beds": "beds16", "n_chains": 2}, ds, tmp_path)
+        assert got.shape == (2, 48, 48)
+        with pytest.raises(ValueError, match="3 beds for n_chains=4"):
+            cli._load_initial_beds(
+                {"initial_beds": "beds16", "n_chains": 4}, ds, tmp_path)
+
+    def test_dry_run_checks_initial_beds_path(self, tmp_path):
+        _write_dataset(tmp_path)
+        cfg = _crf_config()
+        cfg["farm"]["initial_beds"] = "does_not_exist.npy"
+        cfg_path = _write_config(tmp_path, cfg)
+        with pytest.raises(FileNotFoundError):
+            cli.main([str(cfg_path), "--dry-run", "--quiet"])
+
+    def test_missing_leaf_keys_are_descriptive(self, tmp_path):
+        _, ds_path = _write_dataset(tmp_path)
+        ds = cli.load_dataset(ds_path)
+        cfg = _sgs_config()
+        del cfg["sgs"]["variogram"]["vtype"]
+        with pytest.raises(ValueError, match="sgs.variogram is missing"):
+            cli.build_chain(cfg, ds)
+        cfg = _sgs_config()
+        del cfg["sgs"]["params"]["search_radius"]
+        with pytest.raises(ValueError, match="sgs.params is missing"):
+            cli.build_chain(cfg, ds)
+        cfg = _sgs_config()
+        del cfg["sgs"]["blocks"]["max_y"]
+        with pytest.raises(ValueError, match="sgs.blocks is missing"):
+            cli.build_chain(cfg, ds)
+
+    def test_summary_skips_rhat_on_tiny_histories(self, capsys):
+        # 4-iteration histories leave 1-sample half-chains after the
+        # burn-in slice; the R-hat line must be omitted, not NaN
+        results = [(np.zeros((4, 4)), None, None,
+                    np.linspace(1, 0, 4), np.ones(4), None, None)
+                   for _ in range(2)]
+        cli._print_summary(results)
+        out = capsys.readouterr().out
+        assert "R-hat" not in out and "nan" not in out
+
     def test_dataset_validation(self, tmp_path):
         bad = tmp_path / "bad.npz"
         np.savez(bad, xx=np.zeros((4, 4)))
