@@ -945,8 +945,8 @@ class ChainSGS:
             nst = NormalScoreTransform(quantiles=np.array([0.0, 1.0]),
                                        references=np.array([0.0, 1.0]))
             z_cond = np.where(dmask, np.nan_to_num(cond0), 0.0)
-            mean_z = float(np.nanmean(cond0)) if np.isfinite(
-                np.nanmean(cond0)) else 0.0
+            cvals = np.asarray(cond0)[np.isfinite(np.asarray(cond0))]
+            mean_z = float(cvals.mean()) if cvals.size else 0.0
             # placeholder identity LUT: use_transform=False never calls it
             eye = jnp.asarray(np.array([[0.0, 1.0], [1.0, 1.0]], np.float32))
             lut = NormalScoreLUT(fwd_lo=jnp.float32(0), fwd_scale=jnp.float32(1),

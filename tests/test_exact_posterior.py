@@ -1,4 +1,4 @@
-"""Exact-posterior correctness of the CRF Metropolis-Hastings sampler.
+"""Exact-posterior correctness of the CRF and SGS Metropolis-Hastings samplers.
 
 The strongest end-to-end validation available for this framework: on the
 mass-conservation loss the residual is LINEAR in the bed (reference
@@ -24,12 +24,30 @@ Statistics: per-chain posterior means are i.i.d. across chains, so the
 across-chain scatter gives an assumption-free standard error for the grand
 mean (no ESS estimate needed); variances are checked against the exact
 diagonal with a band covering their own sampling noise.
+
+The SGS chain admits the same kind of closed form through a DIFFERENT
+identity: re-simulating a block from the exact conditional of the
+variogram GP prior with the reference's likelihood-only acceptance rule
+``min(1, exp(loss - loss'))`` (MCMC.py:1797-1805) targets exactly
+``pi(b) ~ p_GP(b) exp(-loss(b))`` — the prior's conditional densities
+cancel in the Metropolis-Hastings ratio (the chain_sgs module docstring's
+argument, made quantitative here).  With a quadratic loss that posterior
+is again an exact Gaussian: precision ``K = (Sigma^-1)_FF + A^T A /
+sigma^2`` over the block-reachable free set F, conditioned on the frozen
+exterior.  A short-range covariance makes the window/top-k conditioning
+truncations exponentially small (cov at the margin ~ 6e-6 sill), so any
+bug in the conditional draw (circulant-embedding spectrum, packed CG
+solve, kriging-adjustment convolution) or in the MH bookkeeping shows up
+as a measurable moment deviation.
 """
 
 import numpy as np
 import pytest
 
 from mcmc_tpu.models import ChainCRF
+from mcmc_tpu.models.chain_sgs import ChainSGS
+from mcmc_tpu.ops.covariance import (CovarianceSpec, covariance_norm,
+                                     make_rotation_matrix)
 from mcmc_tpu.parallel.sampler import MultiChainSampler
 from mcmc_tpu.utils.config import (BlockMenuConfig, RandFieldConfig,
                                    WeightConfig)
@@ -190,4 +208,158 @@ def test_crf_samples_exact_gaussian_posterior():
                  / np.sqrt((x1 ** 2).mean(axis=1) * (x2 ** 2).mean(axis=1)))
     rho_se = rho_chain.std(ddof=1) / np.sqrt(C)
     assert abs(rho_chain.mean() - rho_exact) < max(5 * rho_se, 0.1), (
+        f"corr {rho_chain.mean():.3f} vs exact {rho_exact:.3f}")
+
+
+# ---------------------------------------------------------------------------
+# SGS chain: prior x likelihood posterior in closed form
+# ---------------------------------------------------------------------------
+
+SGS_H = SGS_W = 24
+SGS_SILL = 64.0          # prior sd 8 m in detrended space
+SGS_VRANGE = 500.0       # 1 cell: cov(d) = sill exp(-3d) -> 6e-6 sill at the
+#                          4-cell window margin (screening is exponential)
+SGS_R0, SGS_R1 = 10, 14  # 4x4 menu of block centers
+SGS_BMIN, SGS_BMAX = 3, 5
+
+
+def _sgs_problem():
+    x = np.arange(SGS_W) * RES
+    y = np.arange(SGS_H) * RES
+    xx, yy = np.meshgrid(x, y)
+    bed_true = (150 * np.sin(2 * np.pi * xx / (SGS_W * RES))
+                * np.cos(2 * np.pi * yy / (SGS_H * RES)) - 300)
+    surf = bed_true + 3000.0  # thickness guard never binds
+    velx = 120 + 60 * np.sin(2 * np.pi * yy / (SGS_H * RES))
+    vely = 40 * np.cos(2 * np.pi * xx / (SGS_W * RES))
+    dhdt = np.zeros_like(xx)
+    # r(bed_true) == 0, and trend == bed_true: the detrended state starts
+    # at the prior mean (0) and the posterior mean equals the trend
+    smb = np.asarray(ref.mass_conservation_residual(
+        bed_true, surf, velx, vely, dhdt, np.zeros_like(xx), RES))
+    region = np.zeros((SGS_H, SGS_W), np.float32)
+    region[SGS_R0:SGS_R1, SGS_R0:SGS_R1] = 1
+    return dict(xx=xx, yy=yy, bed_true=bed_true, surf=surf, velx=velx,
+                vely=vely, dhdt=dhdt, smb=smb, region=region,
+                # no radar picks anywhere: proposals are pure conditional-
+                # prior draws (data cells inside a block would be pinned)
+                data_mask=np.zeros((SGS_H, SGS_W), bool),
+                cond_bed=np.full((SGS_H, SGS_W), np.nan),
+                grounded=np.ones((SGS_H, SGS_W), bool))
+
+
+def _sgs_free_set():
+    """Cells reachable by any block — the chain's true free variables.
+    Blocks are NOT clipped to the update region (reference semantics:
+    only the CENTER is region-constrained, MCMC.py:1749-1773), so the
+    free set is the region dilated by the block-extent arithmetic."""
+    F = np.zeros((SGS_H, SGS_W), bool)
+    for cx in range(SGS_R0, SGS_R1):
+        for cy in range(SGS_R0, SGS_R1):
+            for bsx in range(SGS_BMIN, SGS_BMAX):
+                for bsy in range(SGS_BMIN, SGS_BMAX):
+                    F[max(0, (2 * cx - bsx) // 2):
+                      min(SGS_H, (2 * cx + bsx) // 2),
+                      max(0, (2 * cy - bsy) // 2):
+                      min(SGS_W, (2 * cy + bsy) // 2)] = True
+    return np.argwhere(F)
+
+
+def _sgs_exact_posterior(p, fij):
+    """mu/Sigma of pi(z_F) ~ p_GP(z_F | z_ext = 0) exp(-|A z|^2/(2 s^2))
+    in detrended space: prior precision = the (F, F) block of the full-grid
+    GP precision (exterior cells sit frozen at the prior mean), likelihood
+    from the exact residual Jacobian.  Returned mean is in BED space
+    (trend re-added) to match the probe traces."""
+    spec = CovarianceSpec("exponential", s=None)
+    rot = np.asarray(make_rotation_matrix(0.0, SGS_VRANGE, SGS_VRANGE),
+                     np.float64)
+    pts = np.stack([p["xx"].ravel(), p["yy"].ravel()], -1)
+    d = np.linalg.norm((pts[:, None, :] - pts[None, :, :]) @ rot.T, axis=-1)
+    Sig = np.asarray(covariance_norm(spec, d, SGS_SILL, 0.0), np.float64)
+    P_full = np.linalg.inv(Sig)
+    fidx = fij[:, 0] * SGS_W + fij[:, 1]
+    K_prior = P_full[np.ix_(fidx, fidx)]
+
+    b0 = p["bed_true"].astype(np.float64)
+
+    def res(b):
+        return np.asarray(ref.mass_conservation_residual(
+            b, p["surf"], p["velx"], p["vely"], p["dhdt"], p["smb"],
+            RES), np.float64).ravel()
+
+    r0 = res(b0)
+    cols = []
+    for (i, j) in fij:
+        bp = b0.copy()
+        bp[i, j] += 1.0
+        cols.append(res(bp) - r0)
+    A = np.stack(cols, axis=1)
+    K = K_prior + A.T @ A / SIGMA ** 2
+    Sigma = np.linalg.inv(K)
+    mu = Sigma @ (-A.T @ r0 / SIGMA ** 2) + b0[fij[:, 0], fij[:, 1]]
+    return mu, Sigma
+
+
+def test_sgs_samples_exact_prior_times_likelihood_posterior():
+    p = _sgs_problem()
+    fij = _sgs_free_set()
+    mu, Sigma = _sgs_exact_posterior(p, fij)
+    sd = np.sqrt(np.diag(Sigma))
+
+    chain = ChainSGS(p["xx"], p["yy"], p["bed_true"].copy(), p["surf"],
+                     p["velx"], p["vely"], p["dhdt"], p["smb"],
+                     p["cond_bed"], p["data_mask"], p["grounded"], RES)
+    chain.set_update_region(True, p["region"])
+    chain.set_loss_type(sigma_mc=SIGMA, massConvInRegion=False)
+    # trend = true bed: the chain samples the zero-mean detrended prior
+    chain.set_trend(p["bed_true"].astype(np.float32), detrend_map=True)
+    chain.set_normal_transformation(None, do_transform=False)
+    chain.set_variogram("Exponential", SGS_VRANGE, SGS_SILL, 0.0)
+    # condition on EVERY cell within 3 cells of the block (~91 candidates
+    # < K): the top-k truncation keeps only cells with cov <= 1.2e-4 sill
+    chain.set_sgs_param(96, 1500.0)
+    chain.cg_iters = 32  # kappa(S_CC + eps) ~ 2 at this range: converged
+    chain.set_block_sizes(SGS_BMIN, SGS_BMAX, SGS_BMIN, SGS_BMAX)
+    chain.set_sample_points_locations(
+        np.stack([p["xx"][fij[:, 0], fij[:, 1]],
+                  p["yy"][fij[:, 0], fij[:, 1]]], axis=1))
+
+    C, N, BURN = 48, 4000, 1000
+    sampler = MultiChainSampler(chain, n_chains=C)
+    states = sampler.init(seeds=7)
+    _, traces = sampler.run(states, n_iter=N, segment_size=N, progress=False)
+    S = np.asarray(traces["samples"], np.float64)[:, BURN:, :]
+
+    acc = np.asarray(traces["step"])[:, 1:].mean()
+    assert 0.05 < acc < 0.95, f"degenerate acceptance {acc:.3f}"
+
+    # --- mean (bed space): grand mean vs trend + exact tilt ---------------
+    per_chain_mean = S.mean(axis=1)
+    grand = per_chain_mean.mean(axis=0)
+    se = per_chain_mean.std(axis=0, ddof=1) / np.sqrt(C)
+    z = (grand - mu) / se
+    assert np.max(np.abs(z)) < 5.0, (
+        f"posterior mean off: max|z|={np.max(np.abs(z)):.2f}, "
+        f"worst cell err {(grand - mu)[np.argmax(np.abs(z))]:.3f} m")
+    assert np.sqrt(np.mean(z ** 2)) < 2.0, (
+        f"mean z rms {np.sqrt(np.mean(z**2)):.2f}")
+    assert np.max(np.abs(grand - mu) / sd) < 0.2
+
+    # --- marginal variances vs the exact diagonal -------------------------
+    per_chain_var = S.var(axis=1, ddof=1)
+    ratio = per_chain_var.mean(axis=0) / np.diag(Sigma)
+    assert np.all(ratio > 0.8) and np.all(ratio < 1.2), (
+        f"variance ratio range [{ratio.min():.2f}, {ratio.max():.2f}]")
+
+    # --- nearest-neighbor correlation (prior-dominated: small but exact) --
+    k1 = int(np.flatnonzero((fij == [SGS_R0 + 1, SGS_R0 + 1]).all(1))[0])
+    k2 = int(np.flatnonzero((fij == [SGS_R0 + 1, SGS_R0 + 2]).all(1))[0])
+    rho_exact = Sigma[k1, k2] / np.sqrt(Sigma[k1, k1] * Sigma[k2, k2])
+    x1 = S[:, :, k1] - S[:, :, k1].mean(axis=1, keepdims=True)
+    x2 = S[:, :, k2] - S[:, :, k2].mean(axis=1, keepdims=True)
+    rho_chain = ((x1 * x2).mean(axis=1)
+                 / np.sqrt((x1 ** 2).mean(axis=1) * (x2 ** 2).mean(axis=1)))
+    rho_se = rho_chain.std(ddof=1) / np.sqrt(C)
+    assert abs(rho_chain.mean() - rho_exact) < max(5 * rho_se, 0.05), (
         f"corr {rho_chain.mean():.3f} vs exact {rho_exact:.3f}")
