@@ -54,3 +54,10 @@ def test_examples_01_to_05_pipeline(tmp_path):
     stdout = _run("05_visualization.py", out)
     assert "no checkpoint found" not in stdout
     assert (out / "summary.png").exists(), stdout
+
+
+def test_example_08_cli_experiment(tmp_path):
+    out = tmp_path / "data_out"
+    stdout = _run("08_cli_experiment.py", out)
+    assert "bitwise reused" in stdout
+    assert (out / "cli_final_beds.npy").exists(), stdout
