@@ -26,8 +26,11 @@ per-step factorization, which is what the TPU wants (replacing the two
 (SB^2)x(SB^2) matmuls with FFTs and packing the solve from SB^2~576 dims
 down to K~48 are the main SGS throughput levers).  Proposing from the (near-)exact conditional prior makes
 the reference's likelihood-only MH acceptance rule (nearly) exact — prior
-terms cancel in the MH ratio — where octant-limited sequential SGS only
-approximates it.  Parity with the reference is therefore statistical (same
+terms cancel in the MH ratio, so the chain targets exactly
+``p_GP(bed) * exp(-loss)`` — where octant-limited sequential SGS only
+approximates it.  This is verified against the closed-form Gaussian
+posterior in tests/test_exact_posterior.py (mean z-scores rms ~1,
+variance ratios within 10%).  Parity with the reference is statistical (same
 conditional law / posterior), not draw-for-draw; see
 tests/test_chain_sgs.py and tests/test_sgs_parity.py (acceptance band /
 loss decay / posterior variogram vs the sequential NumPy twin in

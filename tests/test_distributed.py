@@ -249,3 +249,75 @@ print("SHARDED_CKPT_OK", flush=True)
                     p.kill()
         assert "SHARDED_CKPT_OK" in out0, out0
         assert "SHARDED_CKPT_OK" in out1, out1
+
+    def test_two_process_sgs_chain(self, tmp_path):
+        """The SGS family on a REAL 2-process cluster: the batched packed-CG
+        step runs under a cross-process `chains` sharding (the virtual-mesh
+        test in test_parallel.py proves sharded == unsharded; this proves
+        the same program executes across process boundaries) and both
+        processes observe the identical global loss trace."""
+        import os
+        import pathlib
+        import socket
+
+        root = str(pathlib.Path(__file__).resolve().parents[1])
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        worker = tmp_path / "worker.py"
+        worker.write_text(r"""
+import sys
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mcmc_tpu.parallel.distributed import (initialize_distributed,
+                                           global_chains_mesh)
+ok = initialize_distributed(coordinator_address="localhost:%d",
+                            num_processes=2, process_id=pid)
+assert ok and jax.process_count() == 2
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from tests.conftest import make_synthetic_problem
+from tests.test_chain_sgs import build_sgs_chain
+from mcmc_tpu.parallel import MultiChainSampler
+
+mesh = global_chains_mesh()
+p = make_synthetic_problem(H=64, W=64)
+chain = build_sgs_chain(p)
+s = MultiChainSampler(chain, n_chains=4, mesh=mesh)
+st = s.init(seeds=0)
+st, tr = s.run_segment(st, 20)
+rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+loss = np.asarray(rep(tr["loss"]))
+assert loss.shape == (20, 4) and np.isfinite(loss).all(), loss
+acc = np.asarray(rep(tr["step"])).mean()
+assert 0.0 < acc <= 1.0, acc
+digest = loss.astype(np.float64).tobytes().hex()[:64]
+jax.distributed.shutdown()
+print("SGS_2PROC_OK", digest, flush=True)
+""" % (root, port))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        env["PYTHONPATH"] = root
+        env["JAX_PLATFORMS"] = "cpu"
+        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        try:
+            out1, _ = p1.communicate(timeout=280)
+            out0, _ = p0.communicate(timeout=60)
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+        assert "SGS_2PROC_OK" in out0, out0
+        assert "SGS_2PROC_OK" in out1, out1
+        # both processes observed the identical global trace
+        d0 = out0.split("SGS_2PROC_OK")[1].split()[0]
+        d1 = out1.split("SGS_2PROC_OK")[1].split()[0]
+        assert d0 == d1
