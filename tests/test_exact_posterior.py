@@ -211,6 +211,96 @@ def test_crf_samples_exact_gaussian_posterior():
         f"corr {rho_chain.mean():.3f} vs exact {rho_exact:.3f}")
 
 
+def test_crf_weighted_update_samples_exact_gaussian_posterior():
+    """The production update type (CRF_weight): the deterministic logistic
+    weight keeps the proposal symmetric (w * block is odd in the block's
+    noise), so the weighted chain must target the same exp(-loss) — but its
+    min-shifted weight is EXACTLY zero at data cells
+    (RandField.get_crf_weight_from_dist, MCMC.py:716-740), so data cells
+    are structurally pinned and the free set is the region's non-data
+    cells.  Checkerboard radar picks make the weight spatially varying
+    (0 at picks, ~0.29 one cell away) and condition the remaining pure-mc
+    quadratic (cond(K) ~ 18 measured); the nugget is scaled up so the
+    0.29x weight still yields efficient random-walk steps."""
+    p = _problem()
+    region_ij = np.argwhere(p["region"] == 1)
+    cb = (region_ij[:, 0] + region_ij[:, 1]) % 2 == 0
+    dm = np.zeros((H, W), bool)
+    dm[region_ij[cb, 0], region_ij[cb, 1]] = True
+    p["data_mask"] = dm
+    p["cond_bed"] = np.where(dm, p["initial_bed"], np.nan)
+
+    fij = region_ij[~cb]          # free: non-pinned region cells
+    pin_ij = region_ij[cb][:3]    # a few pinned probes
+    b0 = p["initial_bed"].astype(np.float64)
+
+    def res(b):
+        return np.asarray(ref.mass_conservation_residual(
+            b, p["surf"], p["velx"], p["vely"], p["dhdt"], p["smb"],
+            RES), np.float64).ravel()
+
+    r0 = res(b0)
+    cols = []
+    for (i, j) in fij:
+        bp = b0.copy()
+        bp[i, j] += 1.0
+        cols.append(res(bp) - r0)
+    A = np.stack(cols, axis=1)
+    K = A.T @ A / SIGMA ** 2  # pure-mc; the pinned checkerboard kills the
+    #                           divergence-free soft modes (cond ~ 18)
+    mu = b0[fij[:, 0], fij[:, 1]] - np.linalg.solve(K, A.T @ r0 / SIGMA ** 2)
+    Sigma = np.linalg.inv(K)
+    sd = np.sqrt(np.diag(Sigma))
+
+    chain = ChainCRF(p["xx"], p["yy"], p["initial_bed"], p["surf"],
+                     p["velx"], p["vely"], p["dhdt"], p["smb"],
+                     p["cond_bed"], p["data_mask"], p["grounded"],
+                     p["resolution"])
+    chain.set_update_region(True, p["region"])
+    chain.set_loss_type(sigma_mc=SIGMA, massConvInRegion=False)
+    chain.configure_randfield(
+        RandFieldConfig(2e3, 6e3, 2e3, 6e3, scale_min=2, scale_max=6,
+                        nugget_max=60000.0, model_name="Gaussian",
+                        isotropic=True),
+        BlockMenuConfig(4, 8, 4, 8, steps=2),
+        WeightConfig(L=2, x0=0, k=6, offset=1, max_dist=5e3,
+                     resolution=RES))
+    chain.set_update_type("CRF_weight")
+    probes = np.concatenate([fij, pin_ij])
+    chain.set_sample_points_locations(
+        np.stack([p["xx"][probes[:, 0], probes[:, 1]],
+                  p["yy"][probes[:, 0], probes[:, 1]]], axis=1))
+
+    C, N, BURN = 48, 16000, 4000
+    sampler = MultiChainSampler(chain, n_chains=C)
+    states = sampler.init(seeds=7)
+    _, traces = sampler.run(states, n_iter=N, segment_size=N, progress=False)
+    Sall = np.asarray(traces["samples"], np.float64)
+    S = Sall[:, BURN:, : len(fij)]
+
+    acc = traces["step"][:, 1:].mean()
+    assert 0.05 < acc < 0.95, f"degenerate acceptance {acc:.3f}"
+
+    # pinned data cells never move (the min-shifted weight is exactly 0)
+    pinned = Sall[:, :, len(fij):]
+    want = b0[pin_ij[:, 0], pin_ij[:, 1]].astype(np.float32)
+    assert np.array_equal(
+        pinned, np.broadcast_to(want, pinned.shape).astype(np.float64))
+
+    per_chain_mean = S.mean(axis=1)
+    grand = per_chain_mean.mean(axis=0)
+    se = per_chain_mean.std(axis=0, ddof=1) / np.sqrt(C)
+    z = (grand - mu) / se
+    assert np.max(np.abs(z)) < 5.0, (
+        f"posterior mean off: max|z|={np.max(np.abs(z)):.2f}")
+    assert np.sqrt(np.mean(z ** 2)) < 2.0
+    assert np.max(np.abs(grand - mu) / sd) < 0.2
+
+    ratio = S.var(axis=1, ddof=1).mean(axis=0) / np.diag(Sigma)
+    assert np.all(ratio > 0.8) and np.all(ratio < 1.2), (
+        f"variance ratio range [{ratio.min():.2f}, {ratio.max():.2f}]")
+
+
 # ---------------------------------------------------------------------------
 # SGS chain: prior x likelihood posterior in closed form
 # ---------------------------------------------------------------------------
