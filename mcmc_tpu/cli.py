@@ -325,10 +325,10 @@ def _print_summary(results):
     # >= 5 so the post-burn slice [:, 1:] still yields half-chains of
     # length >= 2 (ddof=1 variance of a single sample is NaN)
     if losses.shape[0] >= 2 and losses.shape[1] >= 5:
-        from .parallel import split_rhat
+        from .parallel import rank_normalized_rhat
 
-        print(f"[mcmc-tpu] split R-hat (loss): "
-              f"{float(split_rhat(losses[:, 1:])):.4f}")
+        print(f"[mcmc-tpu] rank-normalized split R-hat (loss): "
+              f"{float(rank_normalized_rhat(losses[:, 1:])):.4f}")
 
 
 def main(argv=None) -> int:

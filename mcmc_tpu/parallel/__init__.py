@@ -1,6 +1,7 @@
 from .mesh import chains_mesh, chains_grid_mesh, shard_chains, replicate
 from .sampler import MultiChainSampler, run_chains, init_states
-from .diagnostics import split_rhat, ess, acceptance_rate
+from .diagnostics import (split_rhat, ess, acceptance_rate,
+                          rank_normalized_rhat, ess_bulk, ess_tail)
 from .distributed import (
     initialize_distributed,
     global_chains_mesh,
@@ -24,6 +25,9 @@ __all__ = [
     "init_states",
     "split_rhat",
     "ess",
+    "rank_normalized_rhat",
+    "ess_bulk",
+    "ess_tail",
     "acceptance_rate",
     "make_sharded_crf_chain",
     "make_sharded_crf_chains",

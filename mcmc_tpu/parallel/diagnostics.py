@@ -1,11 +1,20 @@
 """On-device convergence diagnostics: split R-hat and effective sample size.
 
 The reference has no convergence diagnostics — chains are compared by eye in
-visualization.ipynb.  These are standard formulations (Gelman et al., BDA3 /
-Vehtari et al. 2021 rank-normalized variants omitted for simplicity), run on
-device so pod-scale chain farms can monitor convergence without materializing
-traces on the host.  Cross-device reductions ride XLA collectives when the
-chain axis is sharded.
+visualization.ipynb.  Two families here, both running on device so pod-scale
+chain farms can monitor convergence without materializing traces on the host
+(cross-device reductions ride XLA collectives when the chain axis is
+sharded):
+
+- classic split-R-hat / multi-chain ESS (Gelman et al., BDA3) —
+  ``split_rhat`` / ``ess``;
+- the rank-normalized variants of Vehtari et al. 2021 ("Rank-normalization,
+  folding, and localization") — ``rank_normalized_rhat`` (max of the bulk
+  and folded statistics), ``ess_bulk``, ``ess_tail`` — robust to heavy
+  tails and nonstationary variance, and the recommended default.  Rank
+  normalization uses tie-aware AVERAGE ranks (MH traces repeat values on
+  every rejection, so ordinal ranks would be badly biased), computed
+  branch-free with two searchsorted passes.
 """
 
 from __future__ import annotations
@@ -93,3 +102,86 @@ def ess(traces):
 def acceptance_rate(steps):
     """Mean acceptance over the trailing axis of a (chains, n_iter) step trace."""
     return jnp.mean(jnp.asarray(steps, jnp.float32), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Rank-normalized diagnostics (Vehtari et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def _rank_normalize(x):
+    """Tie-aware rank-normal (z-scale) transform over ALL chains pooled.
+
+    x: (..., m, n).  Average fractional ranks via two searchsorted passes
+    (rank of v = midpoint of its equal-value run in the pooled sort), then
+    the Blom-offset normal quantile  z = ndtri((r - 3/8) / (S + 1/4)).
+    """
+    from jax.scipy.special import ndtri
+
+    shape = x.shape
+    flat = x.reshape(shape[:-2] + (-1,))           # (..., m*n)
+    S = flat.shape[-1]
+    srt = jnp.sort(flat, axis=-1)
+    left = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(
+        srt.reshape(-1, S), flat.reshape(-1, S)).reshape(flat.shape)
+    right = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"),
+                     in_axes=(0, 0))(
+        srt.reshape(-1, S), flat.reshape(-1, S)).reshape(flat.shape)
+    rank = 0.5 * (left + right + 1)                # average rank, 1-based
+    z = ndtri((rank - 0.375) / (S + 0.25))
+    return z.reshape(shape)
+
+
+def _as_pmn(traces):
+    """(m, n) or (m, n, P) traces -> (P, m, n)."""
+    x = jnp.asarray(traces, jnp.float32)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    return jnp.moveaxis(x, -1, 0), squeeze
+
+
+def rank_normalized_rhat(traces):
+    """Rank-normalized split-R-hat: max of the BULK statistic (split-R-hat
+    of the rank-normal transform) and the FOLDED statistic (same on
+    |x - median|, which detects variance/tail mismatches that mean-based
+    R-hat misses).  Vehtari et al. 2021 recommend flagging > 1.01.
+
+    traces: (n_chains, n_samples) or (n_chains, n_samples, P).
+    """
+    x, squeeze = _as_pmn(traces)                   # (P, m, n)
+    z_bulk = _rank_normalize(x)
+    med = jnp.median(x.reshape(x.shape[0], -1), axis=-1)
+    z_fold = _rank_normalize(jnp.abs(x - med[:, None, None]))
+
+    def _rhat(z):                                  # (P, m, n) -> (P,)
+        return split_rhat(jnp.moveaxis(z, 0, -1))
+
+    out = jnp.maximum(jnp.atleast_1d(_rhat(z_bulk)),
+                      jnp.atleast_1d(_rhat(z_fold)))
+    return out[0] if squeeze else out
+
+
+def ess_bulk(traces):
+    """Bulk ESS: multi-chain ESS of the rank-normal transform — how well
+    the center of the distribution is resolved (Vehtari et al. 2021)."""
+    x, squeeze = _as_pmn(traces)
+    z = jnp.moveaxis(_rank_normalize(x), 0, -1)    # (m, n, P)
+    out = jnp.atleast_1d(ess(z))
+    return out[0] if squeeze else out
+
+
+def ess_tail(traces, prob: float = 0.05):
+    """Tail ESS: min of the ESS of the ``prob`` / ``1 - prob`` quantile
+    exceedance indicators — how well the tails are resolved.  Low tail-ESS
+    with healthy bulk-ESS means credible-interval endpoints are noisy."""
+    x, squeeze = _as_pmn(traces)                   # (P, m, n)
+    flat = x.reshape(x.shape[0], -1)
+    qlo = jnp.quantile(flat, prob, axis=-1)
+    qhi = jnp.quantile(flat, 1.0 - prob, axis=-1)
+    ind_lo = (x <= qlo[:, None, None]).astype(jnp.float32)
+    ind_hi = (x >= qhi[:, None, None]).astype(jnp.float32)
+    e_lo = jnp.atleast_1d(ess(jnp.moveaxis(ind_lo, 0, -1)))
+    e_hi = jnp.atleast_1d(ess(jnp.moveaxis(ind_hi, 0, -1)))
+    out = jnp.minimum(e_lo, e_hi)
+    return out[0] if squeeze else out

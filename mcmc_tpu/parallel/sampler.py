@@ -506,8 +506,14 @@ class MultiChainSampler:
             samp = jnp.asarray(traces["samples"])
             out["rhat"] = np.asarray(diag.split_rhat(samp))
             out["ess"] = np.asarray(diag.ess(samp))
-        out["rhat_loss"] = float(diag.split_rhat(jnp.asarray(traces["loss"])))
-        out["ess_loss"] = float(np.asarray(diag.ess(jnp.asarray(traces["loss"]))))
+            out["rhat_rank"] = np.asarray(diag.rank_normalized_rhat(samp))
+            out["ess_bulk"] = np.asarray(diag.ess_bulk(samp))
+            out["ess_tail"] = np.asarray(diag.ess_tail(samp))
+        loss_tr = jnp.asarray(traces["loss"])
+        out["rhat_loss"] = float(diag.split_rhat(loss_tr))
+        out["ess_loss"] = float(np.asarray(diag.ess(loss_tr)))
+        out["rhat_rank_loss"] = float(
+            np.asarray(diag.rank_normalized_rhat(loss_tr)))
         if elapsed_seconds:
             n_iter = traces["loss"].shape[1]
             out["chain_iters_per_sec"] = n_iter * self.n_chains / elapsed_seconds

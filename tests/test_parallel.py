@@ -116,6 +116,81 @@ class TestDiagnostics:
         assert e_ar < 0.25 * e_iid
 
 
+class TestRankNormalizedDiagnostics:
+    """Vehtari et al. 2021 variants (rank_normalized_rhat, ess_bulk,
+    ess_tail)."""
+
+    def test_rank_normalize_matches_scipy_with_ties(self, rng):
+        from scipy.special import ndtri as ndtri_np
+        from scipy.stats import rankdata
+
+        from mcmc_tpu.parallel.diagnostics import _rank_normalize
+
+        # quantized values -> heavy ties, like an MH trace with rejections
+        x = np.round(rng.normal(size=(4, 100)) * 2) / 2
+        z = np.asarray(_rank_normalize(jnp.asarray(x, jnp.float32)))
+        S = x.size
+        want = ndtri_np((rankdata(x.ravel(), method="average") - 0.375)
+                        / (S + 0.25)).reshape(x.shape)
+        np.testing.assert_allclose(z, want, atol=1e-5)
+
+    def test_iid_calibration(self, rng):
+        from mcmc_tpu.parallel import ess_bulk, ess_tail, rank_normalized_rhat
+
+        x = jnp.asarray(rng.normal(size=(8, 1000)))
+        assert float(rank_normalized_rhat(x)) == pytest.approx(1.0, abs=0.02)
+        eb = float(ess_bulk(x))
+        assert 0.5 * 8000 < eb < 1.6 * 8000
+        assert float(ess_tail(x)) > 0.25 * 8000
+
+    def test_mean_shift_detected(self, rng):
+        from mcmc_tpu.parallel import rank_normalized_rhat
+
+        x = rng.normal(size=(8, 500))
+        bad = x + np.arange(8)[:, None] * 3.0
+        assert float(rank_normalized_rhat(jnp.asarray(bad))) > 1.3
+
+    def test_variance_mismatch_caught_by_folding_missed_by_classic(self, rng):
+        """The canonical failure of mean-based R-hat: one chain with the
+        right mean but 5x the spread INFLATES W, dragging classic split
+        R-hat BELOW 1 — the folded rank-normalized statistic flags it."""
+        from mcmc_tpu.parallel import rank_normalized_rhat
+
+        x = rng.normal(size=(8, 500))
+        x[0] *= 5.0
+        classic = float(np.asarray(split_rhat(jnp.asarray(x))))
+        ranked = float(rank_normalized_rhat(jnp.asarray(x)))
+        assert classic < 1.01  # silently "converged"
+        assert ranked > 1.05
+
+    def test_multiparam_shapes(self, rng):
+        from mcmc_tpu.parallel import ess_bulk, ess_tail, rank_normalized_rhat
+
+        x = jnp.asarray(rng.normal(size=(4, 300, 3)))
+        assert rank_normalized_rhat(x).shape == (3,)
+        assert ess_bulk(x).shape == (3,)
+        assert ess_tail(x).shape == (3,)
+
+    def test_real_chain_traces_finite(self):
+        """Smoke on a genuine MH loss trace (constant runs from rejections
+        = the tie-heavy case the average-rank transform must handle)."""
+        from mcmc_tpu.parallel import ess_bulk, ess_tail, rank_normalized_rhat
+
+        p = make_synthetic_problem(H=64, W=64)
+        s = MultiChainSampler(build_small_chain(p), n_chains=4,
+                              use_mesh=False)
+        _, tr = s.run(s.init(seeds=3), n_iter=200, segment_size=200,
+                      progress=False)
+        loss = jnp.asarray(np.asarray(tr["loss"]))  # run() is chain-major
+        assert np.isfinite(float(rank_normalized_rhat(loss)))
+        assert float(ess_bulk(loss)) > 1.0
+        assert float(ess_tail(loss)) > 1.0
+        # the sampler's summary carries the rank-normalized fields too
+        d = s.diagnostics(tr, elapsed_seconds=1.0)
+        assert np.isfinite(d["rhat_rank_loss"])
+        assert d["rhat_rank_loss"] >= 1.0 - 1e-3
+
+
 class TestGridSharding:
     def test_sharded_residual_matches_dense(self, rng):
         from mcmc_tpu.parallel.mesh import chains_grid_mesh
