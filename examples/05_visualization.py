@@ -84,6 +84,17 @@ def main():
     fig.savefig(out_png, dpi=110)
     print("wrote", out_png)
 
+    # numeric convergence summary (needs >= 2 chains and a few samples)
+    loss = np.asarray(hist["loss"])
+    if loss.shape[0] >= 2 and loss.shape[1] >= 8:
+        from mcmc_tpu.parallel import ess_bulk, ess_tail, rank_normalized_rhat
+
+        post = loss[:, loss.shape[1] // 4:]  # drop the first quarter
+        print(f"rank-normalized split R-hat (loss): "
+              f"{float(rank_normalized_rhat(post)):.4f} (flag > 1.01)")
+        print(f"ESS bulk / tail (loss): {float(ess_bulk(post)):.1f} / "
+              f"{float(ess_tail(post)):.1f}")
+
 
 if __name__ == "__main__":
     main()
