@@ -91,3 +91,38 @@ def test_iteration_batches():
     assert iteration_batches(5000) == [5000]
     assert iteration_batches(150_000) == [60_000] + [10_000] * 9
     assert sum(iteration_batches(123_456)) == 123_456
+
+
+class TestSnapshotRoundtrip:
+    """chain_snapshot / chain_from_snapshot (the reference's __dict__
+    pickling for pool workers + init_*_chain_by_instance rebuilds,
+    MCMC.py:359-430): a rebuilt chain is run-for-run identical to the
+    original, through a pickle boundary like the reference's mp.Pool."""
+
+    def test_crf_snapshot_pickles_and_reproduces(self):
+        import pickle
+
+        from mcmc_tpu.drivers import chain_from_snapshot, chain_snapshot
+
+        p = make_synthetic_problem(H=48, W=48)
+        chain = build_small_chain(p)
+        snap = pickle.loads(pickle.dumps(chain_snapshot(chain)))
+        rebuilt = chain_from_snapshot(snap)
+        r1 = chain.run(25, progress_bar=False, seed=11)
+        r2 = rebuilt.run(25, progress_bar=False, seed=11)
+        np.testing.assert_array_equal(r2["loss"], r1["loss"])
+        np.testing.assert_array_equal(r2["bed"], r1["bed"])
+
+    def test_sgs_snapshot_pickles_and_reproduces(self):
+        import pickle
+
+        from mcmc_tpu.drivers import chain_from_snapshot, chain_snapshot
+
+        p = make_synthetic_problem(H=48, W=48)
+        chain = build_sgs_chain(p)
+        snap = pickle.loads(pickle.dumps(chain_snapshot(chain)))
+        rebuilt = chain_from_snapshot(snap)
+        r1 = chain.run(15, progress_bar=False, seed=4)
+        r2 = rebuilt.run(15, progress_bar=False, seed=4)
+        np.testing.assert_array_equal(r2["loss"], r1["loss"])
+        np.testing.assert_array_equal(r2["bed"], r1["bed"])

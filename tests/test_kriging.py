@@ -219,3 +219,85 @@ class TestMaskedSolvers:
             np.testing.assert_allclose(w[b, idx],
                                        np.linalg.solve(sub, rhs[b, idx]),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestWeightPrecompute:
+    """ok/sk_weights_masked (the reference's ``precompute=True`` mode,
+    _krige.py:40-41,77-78): the returned weights, applied to any value
+    vector, reproduce the corresponding full solve — values enter only at
+    apply time, which is the point of precomputing them."""
+
+    def _slots(self, rng, n_valid, K=16):
+        nearest = random_neighbors(rng, n_valid)
+        coords = np.zeros((K, 2), np.float32)
+        values = np.zeros(K, np.float32)
+        mask = np.zeros(K, np.float32)
+        coords[:n_valid] = nearest[:, :2]
+        values[:n_valid] = nearest[:, 2]
+        mask[:n_valid] = 1.0
+        coords[n_valid:] = rng.uniform(0, 10_000, size=(K - n_valid, 2))
+        values[n_valid:] = 99.0  # garbage in invalid slots
+        return nearest, coords, values, mask
+
+    @pytest.mark.parametrize("n_valid", [4, 12])
+    def test_sk_weights_reproduce_solve(self, rng, n_valid):
+        from mcmc_tpu.ops.kriging import sk_weights_masked
+
+        nearest, coords, values, mask = self._slots(rng, n_valid)
+        rot = make_rotation_matrix(VARIO["azimuth"], VARIO["major_range"],
+                                   VARIO["minor_range"])
+        args = (CovarianceSpec("gaussian"),
+                jnp.asarray([5000.0, 4000.0]), jnp.asarray(coords),
+                jnp.asarray(mask), rot, jnp.float32(VARIO["sill"]),
+                jnp.float32(VARIO["nugget"]))
+        w, var_w = sk_weights_masked(args[0], args[1], args[2], args[3],
+                                     args[4], args[5], args[6])
+        # invalid slots carry zero weight
+        assert np.all(np.asarray(w)[mask == 0] == 0.0)
+        gm = 0.3
+
+        def apply(vals):
+            return gm + float(jnp.sum(w * jnp.asarray(mask)
+                                      * (jnp.asarray(vals) - gm)))
+
+        for vals in (values, values + rng.normal(0, 2, values.shape)
+                     .astype(np.float32)):
+            est, var = sk_solve_masked(
+                args[0], args[1], args[2], jnp.asarray(vals), args[3],
+                args[4], args[5], args[6], jnp.float32(gm))
+            assert apply(vals) == pytest.approx(float(est), rel=1e-5,
+                                                abs=1e-5)
+            assert float(var_w) == pytest.approx(float(var), rel=1e-5,
+                                                 abs=1e-5)
+        # and the twin agrees end-to-end (on the original values)
+        est_ref, var_ref = ref.sk_solve((5000.0, 4000.0), nearest, VARIO, gm)
+        assert apply(values) == pytest.approx(est_ref, rel=5e-3, abs=5e-3)
+        assert float(var_w) == pytest.approx(var_ref, rel=3e-2, abs=5e-3)
+
+    @pytest.mark.parametrize("n_valid", [4, 12])
+    def test_ok_weights_reproduce_solve(self, rng, n_valid):
+        from mcmc_tpu.ops.kriging import ok_weights_masked
+
+        nearest, coords, values, mask = self._slots(rng, n_valid)
+        rot = make_rotation_matrix(VARIO["azimuth"], VARIO["major_range"],
+                                   VARIO["minor_range"])
+        spec = CovarianceSpec("gaussian")
+        target = jnp.asarray([5000.0, 4000.0])
+        w, var_w = ok_weights_masked(spec, target, jnp.asarray(coords),
+                                     jnp.asarray(mask), rot,
+                                     jnp.float32(VARIO["sill"]),
+                                     jnp.float32(VARIO["nugget"]))
+        assert np.all(np.asarray(w)[mask == 0] == 0.0)
+        m = jnp.asarray(mask)
+        local_mean = float(jnp.sum(jnp.asarray(values) * m) / jnp.sum(m))
+        est_w = local_mean + float(jnp.sum(
+            w * m * (jnp.asarray(values) - local_mean)))
+        est, var = ok_solve_masked(spec, target, jnp.asarray(coords),
+                                   jnp.asarray(values), m, rot,
+                                   jnp.float32(VARIO["sill"]),
+                                   jnp.float32(VARIO["nugget"]))
+        assert est_w == pytest.approx(float(est), rel=1e-5, abs=1e-5)
+        assert float(var_w) == pytest.approx(float(var), rel=1e-5, abs=1e-5)
+        est_ref, var_ref = ref.ok_solve((5000.0, 4000.0), nearest, VARIO)
+        assert est_w == pytest.approx(est_ref, rel=5e-3, abs=5e-3)
+        assert float(var_w) == pytest.approx(var_ref, rel=3e-2, abs=5e-3)

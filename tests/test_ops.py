@@ -218,3 +218,74 @@ class TestNormalScoreLUT:
         # saturates like sklearn's clip at the fitted range
         assert out[1] == pytest.approx(float(nst.transform_np(-1e9)), abs=1e-2)
         assert out[2] == pytest.approx(float(nst.transform_np(1e9)), abs=1e-2)
+
+
+class TestStencilsAndOctants:
+    """Stencil builders + octant window search vs the reference conventions
+    (gstatsim_custom/neighbors.py:4-116)."""
+
+    def test_circle_stencil_geometry(self):
+        from mcmc_tpu.ops.neighbors import make_circle_stencil
+
+        x = np.arange(0, 10_000, 500.0)
+        rad = 2200.0
+        mask, xx, yy = make_circle_stencil(x, rad)
+        ncells = int(np.ceil(rad / 500.0))        # reference neighbors.py:73
+        assert mask.shape == (2 * ncells + 1, 2 * ncells + 1)
+        # strict-< disc on the stencil's own coordinates (neighbors.py:80)
+        np.testing.assert_array_equal(mask,
+                                      np.hypot(xx, yy) < rad)
+        assert mask[ncells, ncells]               # center inside
+        assert not mask[0, 0]                     # corner outside
+        np.testing.assert_array_equal(mask, mask[::-1, ::-1])  # symmetric
+
+    def test_ellipse_stencil_axes_and_rotation(self):
+        from mcmc_tpu.ops.neighbors import make_ellipse_stencil
+
+        x = np.arange(0, 10_000, 500.0)
+        maj, mnr = 3000.0, 1500.0
+        m0, xx, yy = make_ellipse_stencil(x, maj, mnr, 0.0)
+        c = m0.shape[0] // 2
+        # axis-aligned at angle 0: full major axis along x, minor along y
+        assert m0[c, 0] == 1 and m0[c, -1] == 1   # (±maj, 0) on the rim
+        assert m0[0, c] == 0 and m0[-1, c] == 0   # (0, ±maj) outside
+        # inclusive <= boundary (neighbors.py:116 convention)
+        ell = (xx / maj) ** 2 + (yy / mnr) ** 2
+        np.testing.assert_array_equal(m0, (ell <= 1).astype(int))
+        # rotating 90 degrees swaps the axes
+        m90, _, _ = make_ellipse_stencil(x, maj, mnr, 90.0)
+        np.testing.assert_array_equal(m90, m0.T)
+
+    def test_octant_window_matches_twin(self):
+        from mcmc_tpu.ops.neighbors import octant_neighbors_window
+
+        rng = np.random.default_rng(3)
+        H = W = 20
+        res = 500.0
+        xs = np.arange(W) * res
+        ys = np.arange(H) * res
+        xx, yy = np.meshgrid(xs, ys)
+        cond = rng.random((H, W)) < 0.4
+        i, j = 10, 9
+        cond[i, j] = False
+        grid = np.where(cond, rng.normal(0, 1, (H, W)), np.nan)
+
+        radius, num_points = 2200.0, 24   # 3 per octant, no lattice ties
+        nb = ref.octant_neighbors(i, j, xx, yy, grid, cond, radius,
+                                  num_points)
+
+        win_xy = np.stack([xx, yy], axis=-1).astype(np.float32)
+        coords, vals, mask = octant_neighbors_window(
+            jnp.asarray([xx[i, j], yy[i, j]], jnp.float32),
+            jnp.asarray(win_xy), jnp.asarray(np.nan_to_num(grid),
+                                             jnp.float32),
+            jnp.asarray(cond), jnp.float32(radius), num_points)
+        coords = np.asarray(coords)[np.asarray(mask)]
+        vals = np.asarray(vals)[np.asarray(mask)]
+
+        got = sorted((round(float(cx)), round(float(cy)), round(float(v), 4))
+                     for (cx, cy), v in zip(coords, vals))
+        want = sorted((round(float(r[0])), round(float(r[1])),
+                       round(float(r[2]), 4)) for r in nb)
+        assert got == want
+        assert len(got) >= 8  # dense enough that most octants contributed
