@@ -220,3 +220,15 @@ class TestReferenceQuirkParity:
         _, mat, _, _ = grid_data(df, "x", "y", "bed", 500.0,
                                  0.0, 500.0, 0.0, 500.0)
         assert np.isnan(mat).all()
+
+
+class TestMakeGrid:
+    def test_cell_centered_raster_order(self):
+        from mcmc_tpu.data.topography import make_grid
+
+        coords, cols, rows = make_grid(0.0, 1000.0, 0.0, 500.0, 500.0)
+        assert (cols, rows) == (3, 2)
+        assert coords.shape == (6, 2)
+        # x varies fastest (meshgrid raveled row-major), inclusive endpoints
+        np.testing.assert_array_equal(coords[:, 0], [0, 500, 1000] * 2)
+        np.testing.assert_array_equal(coords[:, 1], [0, 0, 0, 500, 500, 500])

@@ -144,3 +144,30 @@ def test_sgs_small_grid_default_window():
     assert out.shape == (H, W) and np.isfinite(out).all()
     m, s = krige(xx, yy, grid, vario, radius=20e3, num_points=8)
     assert np.isfinite(m).all() and np.isfinite(s).all()
+
+
+class TestGenerateInitialBeds:
+    """generate_initial_beds — the T2 per-seed initial-bed workflow
+    (reference T2 cells 20-22, largeScaleChain_multiprocessing.py:602-606)."""
+
+    def test_bounded_distinct_reproducible(self):
+        from mcmc_tpu.geostats.sgs import generate_initial_beds
+
+        xx, yy, grid, field = sparse_grid(H=28, W=28)
+        surf = np.full(grid.shape, 40.0)
+        beds = generate_initial_beds(xx, yy, grid, VARIO, surf=surf,
+                                     n_beds=2, radius=10e3, num_points=16,
+                                     seed=7, chunk=64, half_window=12)
+        assert len(beds) == 2
+        m = ~np.isnan(grid)
+        for bed in beds:
+            assert np.isfinite(bed).all()
+            # bounded below the ice surface like the T2 workflow
+            assert (bed[~m] <= 40.0 - 1.0 + 1e-3).all()
+            np.testing.assert_allclose(bed[m], grid[m], atol=1.0)
+        # per-seed beds differ; same seed reproduces bitwise
+        assert not np.array_equal(beds[0], beds[1])
+        again = generate_initial_beds(xx, yy, grid, VARIO, surf=surf,
+                                      n_beds=1, radius=10e3, num_points=16,
+                                      seed=7, chunk=64, half_window=12)
+        np.testing.assert_array_equal(again[0], beds[0])

@@ -404,3 +404,42 @@ def test_sampler_rejects_bad_impl_and_zero_iters():
     st = s.init(seeds=1)
     with pytest.raises(ValueError, match="n_iter"):
         s.run(st, 0, progress=False)
+
+
+class TestProgressRendering:
+    """utils/progress — the reference's fixed-line ANSI renderer
+    (MCMC.py:31-39, 1379-1408), driven per segment by the sampler."""
+
+    def test_format_chain_line_fields(self):
+        from mcmc_tpu.utils.progress import format_chain_line
+
+        line = format_chain_line(3, 123456789, 0.5, 250.0, 1000,
+                                 1.234e4, 0.3456)
+        assert "Chain 3 (123456)" in line       # 6-digit seed like the ref
+        assert " 50%|" in line and "acc: 0.3456" in line
+        assert "ETA: 00:00:02" in line           # (1-0.5)*1000/250 = 2 s
+        # zero-rate guard
+        assert "--:--:--" in format_chain_line(0, 1, 0.0, 0.0, 10, 1.0, 0.0)
+
+    def test_multichain_progress_renders_in_place(self):
+        import io
+
+        from mcmc_tpu.utils.progress import MultiChainProgress
+
+        buf = io.StringIO()
+        r = MultiChainProgress(20, 100, seeds=list(range(20)), max_lines=4,
+                               stream=buf)
+        r.update(10, np.full(20, 5.0), np.full(20, 0.25))
+        r.update(20, np.full(20, 4.0), np.full(20, 0.30))
+        out = buf.getvalue()
+        assert "Running 20 chains" in out
+        assert "... and 16 more chains" in out   # max_lines cap
+        assert "\033[6F" in out                  # in-place redraw (4+2 lines)
+        assert out.count("iter 10/100") == 1 and out.count("iter 20/100") == 1
+
+    def test_acceptance_rate(self):
+        from mcmc_tpu.parallel.diagnostics import acceptance_rate
+
+        steps = np.array([[1, 0, 1, 1], [0, 0, 0, 1]], np.int32)
+        np.testing.assert_allclose(np.asarray(acceptance_rate(steps)),
+                                   [0.75, 0.25])
