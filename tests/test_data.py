@@ -232,3 +232,23 @@ class TestMakeGrid:
         # x varies fastest (meshgrid raveled row-major), inclusive endpoints
         np.testing.assert_array_equal(coords[:, 0], [0, 500, 1000] * 2)
         np.testing.assert_array_equal(coords[:, 1], [0, 0, 0, 500, 500, 500])
+
+
+def test_filter_data_by_std_plot_panels():
+    """plot=True returns the 3-panel QC diagnostic figure
+    (reference Topography.py:629-668)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    H = W = 4
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    bed = np.linspace(-1, 1, H * W)
+    df = pd.DataFrame({"bed": bed, "bedmachine_mask": [2] * (H * W)})
+    out = filter_data_by_std(df, np.zeros((H, W)), bed.reshape(H, W), 1.0,
+                             xx, yy, shallow=False, plot=True)
+    assert len(out) == 4
+    fig = out[3]
+    assert len(fig.get_axes()) >= 3
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
