@@ -87,6 +87,23 @@ def run_chains(static, consts, states, n_steps: int, save_beds: bool = False,
     return jax.lax.scan(body, states, None, length=n_steps)
 
 
+def _host_np(x):
+    """``np.asarray`` that also works for multi-process global arrays.
+
+    Under a multi-host mesh the chain batch (and hence every trace leaf)
+    spans devices this process cannot address; fetching it directly raises.
+    Gather it through the cluster instead — every process then holds the
+    identical GLOBAL trace, matching the single-process semantics.  On a
+    fully-addressable array (the normal single-process path) this is a
+    plain zero-copy ``np.asarray``.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def scan_chunked(batched, consts, states, k: int, n_steps: int,
                  save_beds: bool = False, is_sgs: bool = False):
     """Scan a batched step over ``n_steps`` with the chain batch split into
@@ -431,7 +448,7 @@ class MultiChainSampler:
             self._row_jit = jax.jit(_init_row)
             self._full_bed_jit = jax.jit(_full_bed)
         init_row = self._row_jit(self.consts, states)
-        init_np = jax.tree.map(lambda x: np.asarray(x)[None], init_row)
+        init_np = jax.tree.map(lambda x: _host_np(x)[None], init_row)
 
         collected = []
         bed_snaps = []
@@ -452,7 +469,7 @@ class MultiChainSampler:
                 if profiling:
                     jax.profiler.start_trace(profile_dir)
                 states, traces = self.run_segment(states, n)
-                traces_np = jax.tree.map(np.asarray, traces)
+                traces_np = jax.tree.map(_host_np, traces)
                 if profiling:
                     jax.profiler.stop_trace()
             else:
@@ -467,20 +484,20 @@ class MultiChainSampler:
             collected.append(traces_np)
             if collect_beds:
                 bed = self._full_bed_jit(self.consts, states)
-                bed_snaps.append(self.unpad(np.asarray(bed)))
+                bed_snaps.append(self.unpad(_host_np(bed)))
             remaining -= n
             done += n
             seg_index += 1
             if renderer is not None:
-                renderer.update(done, np.asarray(states.loss_mc),
-                                np.asarray(states.accepted) / max(done - 1, 1))
+                renderer.update(done, _host_np(states.loss_mc),
+                                _host_np(states.accepted) / max(done - 1, 1))
             elif progress:
                 dt = time.time() - t0
                 rate = (done - 1) * self.n_chains / max(dt, 1e-9)
                 print(f"[sampler] iter {done}/{n_iter} | "
                       f"{rate:,.0f} chain-it/s | "
-                      f"loss mean {np.asarray(states.loss_mc).mean():.4e} | "
-                      f"acc {np.asarray(states.accepted).mean() / max(done - 1, 1):.3f}",
+                      f"loss mean {_host_np(states.loss_mc).mean():.4e} | "
+                      f"acc {_host_np(states.accepted).mean() / max(done - 1, 1):.3f}",
                       flush=True)
             if segment_callback is not None:
                 segment_callback(done, states, traces_np)

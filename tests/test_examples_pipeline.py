@@ -61,3 +61,10 @@ def test_example_08_cli_experiment(tmp_path):
     stdout = _run("08_cli_experiment.py", out)
     assert "bitwise reused" in stdout
     assert (out / "cli_final_beds.npy").exists(), stdout
+
+
+def test_example_09_distributed_pod(tmp_path):
+    out = tmp_path / "data_out"
+    stdout = _run("09_distributed_pod.py", out)
+    assert "round-trips through a single-host reader" in stdout
+    assert (out / "pod_run" / "checkpoint_60.ok").exists(), stdout
