@@ -149,9 +149,16 @@ def make_sharded_loss(mesh: Mesh, grid_axis: str = "grid"):
 
 
 def shard_grid_arrays(mesh: Mesh, tree, grid_axis: str = "grid"):
-    """Place (H, W) arrays row-sharded over the grid axis."""
+    """Place (H, W) arrays row-sharded over the grid axis.
+
+    Multi-process aware via mesh._put: on a multi-host mesh the sharding
+    is not fully addressable and ``jax.device_put`` refuses host data, so
+    only this process's shards are materialized instead.
+    """
+    from .mesh import _put
+
     sharding = NamedSharding(mesh, P(grid_axis, None))
-    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sharding), tree)
+    return jax.tree.map(lambda x: _put(jnp.asarray(x), sharding), tree)
 
 
 def _make_local_crf_step(static, rows_local: int, grid_axis: str):

@@ -321,3 +321,116 @@ print("SGS_2PROC_OK", digest, flush=True)
         d0 = out0.split("SGS_2PROC_OK")[1].split()[0]
         d1 = out1.split("SGS_2PROC_OK")[1].split()[0]
         assert d0 == d1
+
+    def test_two_process_combined_chains_grid(self, tmp_path):
+        """The full two-axis layout on a REAL 2-process cluster: each
+        process contributes 2 devices, `global_chains_grid_mesh(2)` lays
+        out chains=2 ACROSS the processes (DCN, no per-step traffic) with
+        each chain's 2 grid shards WITHIN one process (halo ppermute +
+        loss psum never cross DCN).  Both processes must observe the
+        identical global result, and it must match the single-process
+        UNSHARDED run of the same chains (accept decisions exactly, loss
+        to reduction-order tolerance)."""
+        import os
+        import pathlib
+        import socket
+
+        root = str(pathlib.Path(__file__).resolve().parents[1])
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        worker = tmp_path / "worker.py"
+        worker.write_text(r"""
+import sys
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mcmc_tpu.parallel.distributed import (initialize_distributed,
+                                           global_chains_grid_mesh)
+ok = initialize_distributed(coordinator_address="localhost:%d",
+                            num_processes=2, process_id=pid)
+assert ok and jax.process_count() == 2
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from tests.conftest import make_synthetic_problem
+from tests.test_chain_crf import build_small_chain
+from mcmc_tpu.parallel.grid_sharded import (make_sharded_crf_chains,
+                                            shard_grid_arrays)
+
+assert len(jax.local_devices()) == 2 and len(jax.devices()) == 4
+mesh = global_chains_grid_mesh(2)
+assert dict(mesh.shape) == {"chains": 2, "grid": 2}, mesh.shape
+for row in np.asarray(mesh.devices):       # halos must never straddle DCN
+    assert row[0].process_index == row[1].process_index, mesh.devices
+
+p = make_synthetic_problem(H=64, W=64)
+chain = build_small_chain(p)
+static, consts = chain.build()
+planes = dict(
+    surf=np.asarray(consts.surf), velx=np.asarray(consts.velx),
+    vely=np.asarray(consts.vely),
+    dhdt=np.asarray(consts.forcing),  # forcing = dhdt - smb
+    smb=np.zeros_like(np.asarray(consts.forcing)),
+    update_mask=np.asarray(consts.update_mask),
+    mc_mask=np.asarray(consts.mc_mask, np.float32),
+    crf_weight=np.asarray(consts.crf_weight))
+sharded = shard_grid_arrays(mesh, planes)
+sharded["rf"] = consts.rf
+sharded["region_cells"] = consts.region_cells
+sharded["sigma_mc"] = consts.sigma_mc
+sharded["resolution"] = consts.resolution
+from mcmc_tpu.parallel.mesh import _put
+beds = jnp.broadcast_to(jnp.asarray(p["initial_bed"], jnp.float32),
+                        (2, *p["initial_bed"].shape))
+beds = _put(beds, NamedSharding(mesh, P("chains", "grid", None)))
+keys = _put(jax.random.split(jax.random.key(3), 2),
+            NamedSharding(mesh, P("chains")))
+run = make_sharded_crf_chains(mesh, static)
+beds_f, losses, steps = run(beds, sharded, keys, 60)
+rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+loss = np.asarray(rep(losses), np.float32)
+stp = np.asarray(rep(steps))
+assert np.isfinite(loss).all() and stp.sum() > 0
+print("COMBINED_2PROC_OK",
+      stp.astype(np.int64).tobytes().hex(),
+      loss.tobytes().hex(), flush=True)
+jax.distributed.shutdown()
+""" % (root, port))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        env["PYTHONPATH"] = root
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        try:
+            out1, _ = p1.communicate(timeout=280)
+            out0, _ = p0.communicate(timeout=60)
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+        assert "COMBINED_2PROC_OK" in out0, out0
+        assert "COMBINED_2PROC_OK" in out1, out1
+        tok0 = out0.split("COMBINED_2PROC_OK")[1].split()[:2]
+        tok1 = out1.split("COMBINED_2PROC_OK")[1].split()[:2]
+        assert tok0 == tok1  # identical global result on both processes
+
+        # parity vs the single-process UNSHARDED run of the same chains
+        from tests.conftest import make_synthetic_problem
+        from tests.test_parallel import TestCombinedChainsGrid
+
+        p = make_synthetic_problem(H=64, W=64)
+        _, loss1, steps1 = TestCombinedChainsGrid()._run(p, 2, 1)
+        steps2 = np.frombuffer(bytes.fromhex(tok0[0]),
+                               np.int64).reshape(steps1.shape)
+        loss2 = np.frombuffer(bytes.fromhex(tok0[1]),
+                              np.float32).reshape(loss1.shape)
+        np.testing.assert_array_equal(steps2, steps1.astype(np.int64))
+        np.testing.assert_allclose(loss2, loss1, rtol=1e-5)
