@@ -322,6 +322,93 @@ print("SGS_2PROC_OK", digest, flush=True)
         d1 = out1.split("SGS_2PROC_OK")[1].split()[0]
         assert d0 == d1
 
+    def test_two_process_resume_matches_uninterrupted(self, tmp_path):
+        """run_with_checkpointing on a REAL 2-process cluster: a run
+        stopped at 20 iterations and re-invoked to 40 must produce the
+        bitwise-identical final state and loss history as one
+        uninterrupted 40-iteration run (the reference's lsc_run_wrapper
+        resume protocol, executed through the pod-sharded checkpoint
+        layout + cross-process re-sharding on load)."""
+        import os
+        import pathlib
+        import socket
+
+        root = str(pathlib.Path(__file__).resolve().parents[1])
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        ck_resume = tmp_path / "ck_resume"
+        ck_full = tmp_path / "ck_full"
+        worker = tmp_path / "worker.py"
+        worker.write_text(r"""
+import sys
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mcmc_tpu.parallel.distributed import (initialize_distributed,
+                                           global_chains_mesh)
+ok = initialize_distributed(coordinator_address="localhost:%d",
+                            num_processes=2, process_id=pid)
+assert ok and jax.process_count() == 2
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from tests.conftest import make_synthetic_problem
+from tests.test_chain_crf import build_small_chain
+from mcmc_tpu.parallel import MultiChainSampler
+from mcmc_tpu.io.checkpoint import run_with_checkpointing
+
+mesh = global_chains_mesh()
+p = make_synthetic_problem(H=64, W=64)
+chain = build_small_chain(p)
+s = MultiChainSampler(chain, n_chains=4, mesh=mesh)
+rep = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+
+# interrupted: stop at 20, re-invoke to 40 (resume from the sharded set)
+st1, h1, done1 = run_with_checkpointing(s, 20, %r, seeds=5,
+                                        segment_size=10, progress=False)
+assert done1 == 20
+st1, h1, done1 = run_with_checkpointing(s, 40, %r, seeds=5,
+                                        segment_size=10, progress=False)
+# uninterrupted
+st2, h2, done2 = run_with_checkpointing(s, 40, %r, seeds=5,
+                                        segment_size=10, progress=False)
+assert done1 == done2 == 40
+la = np.asarray(h1["loss"]); lb = np.asarray(h2["loss"])
+assert la.shape == lb.shape == (4, 40), (la.shape, lb.shape)
+assert np.array_equal(la, lb)
+ba = np.asarray(rep(st1.bed)); bb = np.asarray(rep(st2.bed))
+assert np.array_equal(ba, bb)
+ka = np.asarray(rep(jax.random.key_data(st1.key)))
+kb = np.asarray(rep(jax.random.key_data(st2.key)))
+assert np.array_equal(ka, kb)
+jax.distributed.shutdown()
+print("RESUME_2PROC_OK", la.astype(np.float64).tobytes().hex()[:64],
+      flush=True)
+""" % (root, port, str(ck_resume), str(ck_resume), str(ck_full)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        env["PYTHONPATH"] = root
+        env["JAX_PLATFORMS"] = "cpu"
+        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        try:
+            out1, _ = p1.communicate(timeout=280)
+            out0, _ = p0.communicate(timeout=60)
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+        assert "RESUME_2PROC_OK" in out0, out0
+        assert "RESUME_2PROC_OK" in out1, out1
+        d0 = out0.split("RESUME_2PROC_OK")[1].split()[0]
+        d1 = out1.split("RESUME_2PROC_OK")[1].split()[0]
+        assert d0 == d1
+
     def test_two_process_combined_chains_grid(self, tmp_path):
         """The full two-axis layout on a REAL 2-process cluster: each
         process contributes 2 devices, `global_chains_grid_mesh(2)` lays
