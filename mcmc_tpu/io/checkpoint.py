@@ -414,6 +414,12 @@ class CheckpointManager:
         only after ``flush()`` (see ``save``)."""
         if end_row <= start_row:
             return None
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # traces are replicated diagnostics (every process holds the
+            # identical global rows after the sampler's allgather): only
+            # process 0 writes, so P processes don't race identical bytes
+            # into the same shared-filesystem path
+            return None
         rows_np = {k: np.asarray(v) for k, v in rows.items()}
         target = self.dir / f"hist_{int(start_row)}_{int(end_row)}.npz"
 
