@@ -297,7 +297,12 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
             chain, ssc_rng_seeds=seeds,
             lsc_rng_seed=farm.get("lsc_rng_seed"), **common)
 
-    save = cfg.get("save", {})
+    # on a multi-process (pod) run every process holds the identical
+    # gathered results; only process 0 writes the output files (np.save is
+    # not atomic — concurrent same-path writes could interleave)
+    import jax
+
+    save = cfg.get("save", {}) if jax.process_index() == 0 else {}
     if save.get("final_beds"):
         np.save(_resolve(config_dir, save["final_beds"]),
                 np.stack([r[0] for r in results]))
