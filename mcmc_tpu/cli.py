@@ -349,6 +349,14 @@ def main(argv=None) -> int:
                     help="suppress progress and summary output")
     ns = ap.parse_args(argv)
 
+    # pod runs: join the jax.distributed cluster BEFORE anything
+    # initializes a backend (no-op without cluster environment variables;
+    # every host then runs this same CLI invocation and the farm drivers
+    # build a global mesh automatically)
+    from .parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     cfg_path = Path(ns.config)
     cfg = load_config(cfg_path)
     if ns.dry_run:

@@ -36,15 +36,21 @@ _DONE_ART = r"""
 
 def _unpack_per_chain(states, hist, sampler):
     """Per-chain result tuples in the reference's ordering
-    (beds, loss_mc, loss_data, loss, steps, resampled_times, blocks_used)."""
+    (beds, loss_mc, loss_data, loss, steps, resampled_times, blocks_used).
+
+    State fetches go through _host_np: on a multi-process (pod) run the
+    chain batch spans devices this process cannot address, so it is
+    allgathered — every process returns the identical global results."""
+    from .parallel.sampler import _host_np
+
     if sampler.is_sgs:
-        trend = np.asarray(sampler.consts.trend)
-        beds = np.asarray(states.bed) + trend
+        trend = _host_np(sampler.consts.trend)
+        beds = _host_np(states.bed) + trend
     else:
-        beds = sampler.unpad(np.asarray(states.bed))
+        beds = sampler.unpad(_host_np(states.bed))
     # the resampled-count plane is a grid array too — slice it back to
     # the true domain alongside the beds (identity when not auto-padded)
-    resampled = sampler.unpad(np.asarray(states.resampled))
+    resampled = sampler.unpad(_host_np(states.resampled))
     out = []
     for i in range(sampler.n_chains):
         out.append((beds[i], hist["loss_mc"][i], hist["loss_data"][i],

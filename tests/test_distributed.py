@@ -322,6 +322,76 @@ print("SGS_2PROC_OK", digest, flush=True)
         d1 = out1.split("SGS_2PROC_OK")[1].split()[0]
         assert d0 == d1
 
+    def test_two_process_cli_experiment(self, tmp_path):
+        """The declarative CLI on a REAL 2-process cluster: every host
+        invokes the SAME `mcmc-tpu config.json` command (the pod recipe —
+        main() joins the cluster from the JAX_* env vars before any
+        backend init), the farm runs on the global mesh, the checkpoint
+        lands in the pod-sharded layout, and only process 0 writes the
+        output arrays."""
+        import json
+        import os
+        import pathlib
+        import socket
+
+        import numpy as np
+
+        root = str(pathlib.Path(__file__).resolve().parents[1])
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        from tests.test_cli import _crf_config, _write_dataset
+
+        _write_dataset(tmp_path)
+        cfg_path = tmp_path / "exp.json"
+        cfg_path.write_text(json.dumps(_crf_config(n_iter=20)))
+
+        worker = tmp_path / "worker.py"
+        worker.write_text(r"""
+import sys
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+import os
+os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:%d"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = str(pid)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mcmc_tpu import cli
+rc = cli.main([%r, "--quiet"])
+assert rc == 0 and jax.process_count() == 2
+jax.distributed.shutdown()
+print("CLI_2PROC_OK", flush=True)
+""" % (root, port, str(cfg_path)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        env["PYTHONPATH"] = root
+        env["JAX_PLATFORMS"] = "cpu"
+        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        try:
+            out1, _ = p1.communicate(timeout=280)
+            out0, _ = p0.communicate(timeout=60)
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+        assert "CLI_2PROC_OK" in out0, out0
+        assert "CLI_2PROC_OK" in out1, out1
+
+        beds = np.load(tmp_path / "beds.npy")
+        assert beds.shape == (2, 48, 48) and np.isfinite(beds).all()
+        names = sorted(f.name for f in
+                       (tmp_path / "run" / "LargeScaleChain").iterdir())
+        assert "checkpoint_20.ok" in names, names
+        assert "checkpoint_20.proc0of2.npz" in names, names
+        assert "checkpoint_20.proc1of2.npz" in names, names
+
     def test_two_process_resume_matches_uninterrupted(self, tmp_path):
         """run_with_checkpointing on a REAL 2-process cluster: a run
         stopped at 20 iterations and re-invoked to 40 must produce the
