@@ -392,6 +392,67 @@ print("CLI_2PROC_OK", flush=True)
         assert "checkpoint_20.proc0of2.npz" in names, names
         assert "checkpoint_20.proc1of2.npz" in names, names
 
+    def test_two_process_cli_sgs(self, tmp_path):
+        """The SGS chain family through the pod-wide CLI path (the drivers'
+        SGS result-unpacking adds the replicated trend to non-addressable
+        beds — the family-specific leaf layout must gather too)."""
+        import json
+        import os
+        import pathlib
+        import socket
+
+        import numpy as np
+
+        root = str(pathlib.Path(__file__).resolve().parents[1])
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        from tests.test_cli import _sgs_config, _write_dataset
+
+        _write_dataset(tmp_path)
+        cfg_path = tmp_path / "exp.json"
+        cfg_path.write_text(json.dumps(_sgs_config(n_iter=16)))
+
+        worker = tmp_path / "worker.py"
+        worker.write_text(r"""
+import sys
+sys.path.insert(0, %r)
+pid = int(sys.argv[1])
+import os
+os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:%d"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = str(pid)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from mcmc_tpu import cli
+rc = cli.main([%r, "--quiet"])
+assert rc == 0 and jax.process_count() == 2
+jax.distributed.shutdown()
+print("CLI_SGS_2PROC_OK", flush=True)
+""" % (root, port, str(cfg_path)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+        env["PYTHONPATH"] = root
+        env["JAX_PLATFORMS"] = "cpu"
+        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=root)
+        try:
+            out1, _ = p1.communicate(timeout=280)
+            out0, _ = p0.communicate(timeout=60)
+        finally:
+            for p in (p0, p1):
+                if p.poll() is None:
+                    p.kill()
+        assert "CLI_SGS_2PROC_OK" in out0, out0
+        assert "CLI_SGS_2PROC_OK" in out1, out1
+        beds = np.load(tmp_path / "beds.npy")
+        assert beds.shape == (2, 48, 48) and np.isfinite(beds).all()
+
     def test_two_process_resume_matches_uninterrupted(self, tmp_path):
         """run_with_checkpointing on a REAL 2-process cluster: a run
         stopped at 20 iterations and re-invoked to 40 must produce the
