@@ -125,38 +125,53 @@ def main():
 
         shutil.rmtree(ckdir)
     ckdir.mkdir()
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    worker = OUT / "pod_worker.py"
-    worker.write_text(WORKER.format(root=str(ROOT), port=port,
-                                    dataset=str(dataset),
-                                    ckdir=str(ckdir), n_chains=4,
-                                    n_iter=n_iter,
-                                    segment=max(n_iter // 4, 10)))
 
     env = {k: v for k, v in os.environ.items()
            if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
     env["PYTHONPATH"] = str(ROOT)
     env["JAX_PLATFORMS"] = "cpu"
 
-    print(f"launching 2-process cluster (coordinator localhost:{port}), "
-          f"4 chains x {n_iter} iters sharded across both processes")
-    procs = [subprocess.Popen([sys.executable, str(worker), str(pid)],
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True, env=env,
-                              cwd=str(ROOT))
-             for pid in (0, 1)]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=560)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    def launch():
+        # ephemeral coordinator port, discovered right before the spawn;
+        # the window where another process can steal it (the probe socket
+        # must close before the Gloo coordinator binds) is retried below
+        with socket.socket() as s:
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        worker = OUT / "pod_worker.py"
+        worker.write_text(WORKER.format(root=str(ROOT), port=port,
+                                        dataset=str(dataset),
+                                        ckdir=str(ckdir), n_chains=4,
+                                        n_iter=n_iter,
+                                        segment=max(n_iter // 4, 10)))
+        print(f"launching 2-process cluster (coordinator localhost:{port}),"
+              f" 4 chains x {n_iter} iters sharded across both processes")
+        # coreutils timeout hard-kills a wedged worker even if THIS parent
+        # is SIGKILLed (e.g. a CI harness timeout) — the finally below
+        # never runs in that case and an orphaned Gloo worker would block
+        # on this single-core host forever
+        procs = [subprocess.Popen(
+            ["timeout", "-s", "KILL", "480",
+             sys.executable, str(worker), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=str(ROOT)) for pid in (0, 1)]
+        outs = []
+        try:
+            # both workers run concurrently; the second budget only covers
+            # its remaining tail (total stays under CI's example timeout)
+            outs.append(procs[0].communicate(timeout=420)[0])
+            outs.append(procs[1].communicate(timeout=90)[0])
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return procs, outs
+
+    procs, outs = launch()
+    if (any(p.returncode != 0 for p in procs)
+            and "address already in use" in "".join(outs).lower()):
+        procs, outs = launch()  # coordinator lost the port race
     for pid, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             raise RuntimeError(f"proc{pid} failed:\n{out[-3000:]}")

@@ -273,6 +273,14 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
     """
     chain, ds, initial_beds = build_experiment(cfg, config_dir)
 
+    # one-writer boundary for CONSOLE output too: on a pod every process
+    # computes the identical results, and ungated progress lines / summary
+    # would print P interleaved duplicate streams into the combined log
+    import jax
+
+    if jax.process_index() != 0:
+        quiet = True
+
     farm = dict(cfg.get("farm", {}))
     n_chains = int(farm.get("n_chains", 1))
     n_iter = int(farm.get("n_iter", 1000))
@@ -300,8 +308,6 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
     # on a multi-process (pod) run every process holds the identical
     # gathered results; only process 0 writes the output files (np.save is
     # not atomic — concurrent same-path writes could interleave)
-    import jax
-
     save = cfg.get("save", {}) if jax.process_index() == 0 else {}
     if save.get("final_beds"):
         np.save(_resolve(config_dir, save["final_beds"]),

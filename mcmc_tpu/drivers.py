@@ -27,6 +27,21 @@ import numpy as np
 from .io.checkpoint import run_with_checkpointing
 from .parallel.sampler import MultiChainSampler
 
+def _pod_one_writer(quiet: bool, progress: bool):
+    """Silence every process but 0 on multi-process (pod) runs.
+
+    All processes compute identical results, so ungated progress lines and
+    the completion banner would print P interleaved duplicate streams into
+    a combined pod log — console output belongs at the same one-writer
+    boundary as the file outputs (cli.run / checkpoint history segments).
+    """
+    import jax
+
+    if jax.process_index() != 0:
+        return True, False
+    return quiet, progress
+
+
 _DONE_ART = r"""
            _
       o   (_)   TPU chain farm complete
@@ -77,6 +92,7 @@ def large_scale_chain_farm(chain, n_chains: int, initial_beds=None,
     Returns a list of per-chain result tuples (reference return layout).
     """
     tic = time.time()
+    quiet, progress = _pod_one_writer(quiet, progress)
     sampler = MultiChainSampler(chain, n_chains=n_chains)
     ckpt_dir = Path(output_path) / "LargeScaleChain"
     states, hist, cum = run_with_checkpointing(
@@ -108,6 +124,7 @@ def small_scale_chain_farm(chain, n_chains: int, initial_beds=None,
     directory is nested under the parent large-scale chain's tag.
     """
     tic = time.time()
+    quiet, progress = _pod_one_writer(quiet, progress)
     sampler = MultiChainSampler(chain, n_chains=n_chains)
     # the FULL parent seed names the run dir.  The reference truncates to
     # the first 6 digits (largeScaleChain_multiprocessing.py:131) but only

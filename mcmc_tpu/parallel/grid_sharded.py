@@ -158,7 +158,11 @@ def shard_grid_arrays(mesh: Mesh, tree, grid_axis: str = "grid"):
     from .mesh import _put
 
     sharding = NamedSharding(mesh, P(grid_axis, None))
-    return jax.tree.map(lambda x: _put(jnp.asarray(x), sharding), tree)
+    # pass host data straight through: _put normalizes per branch, and a
+    # jnp.asarray here would eagerly upload the FULL array to the default
+    # device (seconds per op on the tunneled backend) only for the
+    # multi-host branch to pull it back to host before re-uploading shards
+    return jax.tree.map(lambda x: _put(x, sharding), tree)
 
 
 def _make_local_crf_step(static, rows_local: int, grid_axis: str):

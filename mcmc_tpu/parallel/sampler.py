@@ -96,11 +96,33 @@ def _host_np(x):
     identical GLOBAL trace, matching the single-process semantics.  On a
     fully-addressable array (the normal single-process path) this is a
     plain zero-copy ``np.asarray``.
-    """
-    if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    The gather-vs-fetch decision is made from the array's SHARDING (global
+    metadata, identical on every process), never from per-process
+    addressability: ``is_fully_addressable`` differs across processes when
+    a mesh is confined to a subset of hosts, and a per-process branch
+    would send the owner down the plain-fetch path while the others enter
+    the ``process_allgather`` collective — a cross-process deadlock.
+    """
+    if isinstance(x, jax.Array) and jax.process_count() > 1:
+        owners = {d.process_index for d in x.sharding.device_set}
+        if len(owners) > 1:
+            # spans processes: EVERY process takes this same collective
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        if owners != {jax.process_index()}:
+            # confined to one other process: its owner sees a fully
+            # addressable array and will never join a collective, so a
+            # gather here would deadlock.  This layout is a construction
+            # bug (MultiChainSampler refuses to build such meshes) — fail
+            # loudly instead of hanging.
+            raise RuntimeError(
+                f"array is confined to process(es) {sorted(owners)} but "
+                f"this is process {jax.process_index()}; a mesh used in a "
+                "multi-process run must span every process (pass an "
+                "explicit global mesh, e.g. "
+                "parallel.distributed.global_chains_mesh())")
     return np.asarray(x)
 
 
@@ -175,6 +197,29 @@ class MultiChainSampler:
         if mesh is None and use_mesh and len(jax.devices()) > 1:
             n_dev = len(jax.devices())
             usable = max(d for d in range(1, n_dev + 1) if self.n_chains % d == 0)
+            if jax.process_count() > 1:
+                # On a pod every process MUST appear in the mesh: a mesh
+                # covering only some hosts strands the others (no shards
+                # to compute) and makes trace fetches divergent-path
+                # collectives (see _host_np).  The max-divisor heuristic
+                # can silently build such a mesh, so on multi-process runs
+                # only the all-devices layout is auto-selected.
+                if usable != n_dev:
+                    raise ValueError(
+                        f"n_chains={self.n_chains} is not divisible by the "
+                        f"{n_dev} global devices of this "
+                        f"{jax.process_count()}-process run; an auto-mesh "
+                        "over a device subset could exclude whole "
+                        "processes. Use a chain count divisible by the "
+                        "global device count, or pass an explicit mesh "
+                        "spanning every process (e.g. "
+                        "parallel.distributed.global_chains_mesh()).")
+                owners = {d.process_index for d in jax.devices()}
+                if owners != set(range(jax.process_count())):
+                    raise ValueError(
+                        f"jax.devices() covers processes {sorted(owners)} "
+                        f"but the cluster has {jax.process_count()}; pass "
+                        "an explicit mesh spanning every process")
             mesh = chains_mesh(usable)
         self.mesh = mesh
         self.static, consts = self.chain.build()

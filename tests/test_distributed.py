@@ -6,6 +6,9 @@ global runtime state), and the mesh-layout helpers are tested against the
 8 virtual CPU devices.
 """
 
+import os
+import pathlib
+import socket
 import subprocess
 import sys
 
@@ -15,6 +18,69 @@ import numpy as np
 from mcmc_tpu.parallel.distributed import (global_chains_grid_mesh,
                                            global_chains_mesh,
                                            initialize_distributed)
+
+_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_two_process(tmp_path, worker_src: str, marker: str,
+                     extra_env: dict | None = None, timeout: int = 280):
+    """Run one worker script as a REAL 2-process jax.distributed cluster
+    (Gloo over localhost) and return ``(out0, out1)`` after asserting both
+    processes printed ``marker``.
+
+    The worker reads its process id from ``sys.argv[1]`` and must use
+    ``localhost:{PORT}`` as the coordinator address — ``{PORT}`` is
+    substituted here.  This helper centralizes the launch boilerplate the
+    two-process tests previously each carried a copy of:
+
+    - scrubbed environment (the image's sitecustomize pre-imports jax, so
+      PYTHONPATH / JAX_PLATFORMS / XLA_FLAGS must be reset for the child);
+    - free-port discovery with ONE retry on a fresh port — the probe
+      socket closes before the coordinator binds, so the port can be
+      stolen in that window (TOCTOU) under parallel runs;
+    - workers wrapped in coreutils ``timeout -s KILL`` so a harness-level
+      SIGKILL of pytest itself cannot orphan a wedged Gloo worker on this
+      single-core host (the in-process finally never runs in that case);
+    - the communicate/kill teardown with saved handles (never by pattern).
+    """
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = _ROOT
+    env["JAX_PLATFORMS"] = "cpu"
+    if extra_env:
+        env.update(extra_env)
+    worker = tmp_path / "worker.py"
+    out0 = out1 = ""
+    for attempt in (0, 1):
+        port = _free_port()
+        worker.write_text(worker_src.replace("{PORT}", str(port)))
+        procs = [subprocess.Popen(
+            ["timeout", "-s", "KILL", str(timeout + 120),
+             sys.executable, str(worker), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=_ROOT) for i in (0, 1)]
+        try:
+            out1, _ = procs[1].communicate(timeout=timeout)
+            out0, _ = procs[0].communicate(timeout=60)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        both = out0 + out1
+        if (attempt == 0 and marker not in out0
+                and "address already in use" in both.lower()):
+            continue  # coordinator lost the port race; retry fresh
+        break
+    assert marker in out0, out0
+    assert marker in out1, out1
+    return out0, out1
 
 
 class TestMeshLayout:
@@ -95,26 +161,14 @@ print("DISTRIBUTED_OK")
         both processes join the coordinator, build the global chains mesh,
         run a host-level allgather AND a jitted cross-process all-reduce
         over a global sharded array."""
-        import os
-        import pathlib
-        import socket
-
-        root = str(pathlib.Path(__file__).resolve().parents[1])
-        # ephemeral coordinator port: a hardcoded one collides under
-        # parallel test runs or with a stale listener
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
-        worker = tmp_path / "worker.py"
-        worker.write_text(r"""
+        worker_src = r"""
 import sys
-sys.path.insert(0, %r)
 pid = int(sys.argv[1])
 import jax
 jax.config.update("jax_platforms", "cpu")
 from mcmc_tpu.parallel.distributed import (initialize_distributed,
                                            global_chains_mesh)
-ok = initialize_distributed(coordinator_address="localhost:%d",
+ok = initialize_distributed(coordinator_address="localhost:{PORT}",
                             num_processes=2, process_id=pid)
 assert ok and jax.process_count() == 2, (ok, jax.process_count())
 import numpy as np
@@ -135,26 +189,8 @@ total = jax.jit(lambda a: jnp.sum(a),
 assert float(np.asarray(total)) == 3.0, total
 jax.distributed.shutdown()
 print("TWO_PROC_OK", flush=True)
-""" % (root, port))
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
-        env["PYTHONPATH"] = root
-        env["JAX_PLATFORMS"] = "cpu"
-        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        try:
-            out1, _ = p1.communicate(timeout=280)
-            out0, _ = p0.communicate(timeout=30)
-        finally:
-            for p in (p0, p1):
-                if p.poll() is None:
-                    p.kill()
-        assert "TWO_PROC_OK" in out0, out0
-        assert "TWO_PROC_OK" in out1, out1
+"""
+        _run_two_process(tmp_path, worker_src, "TWO_PROC_OK")
 
     def test_two_process_sharded_checkpoint(self, tmp_path):
         """Pod-style checkpointing on a REAL 2-process cluster: each
@@ -163,29 +199,19 @@ print("TWO_PROC_OK", flush=True)
         full state bitwise, and a resume from the sharded checkpoint
         continues identically to the live chains (SURVEY.md §5.4's
         sharded-checkpoint design)."""
-        import os
-        import pathlib
-        import socket
-
-        root = str(pathlib.Path(__file__).resolve().parents[1])
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
         ckdir = tmp_path / "ck"
         ckdir.mkdir()
-        worker = tmp_path / "worker.py"
-        worker.write_text(r"""
+        worker_src = r"""
 import dataclasses
 import os
 import sys
-sys.path.insert(0, %r)
 pid = int(sys.argv[1])
 ckdir = %r
 import jax
 jax.config.update("jax_platforms", "cpu")
 from mcmc_tpu.parallel.distributed import (initialize_distributed,
                                            global_chains_mesh)
-ok = initialize_distributed(coordinator_address="localhost:%d",
+ok = initialize_distributed(coordinator_address="localhost:{PORT}",
                             num_processes=2, process_id=pid)
 assert ok and jax.process_count() == 2
 import numpy as np
@@ -229,26 +255,8 @@ lb = np.asarray(rep(tr_res["loss"]))
 assert np.array_equal(la, lb)
 jax.distributed.shutdown()
 print("SHARDED_CKPT_OK", flush=True)
-""" % (root, str(ckdir), port))
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
-        env["PYTHONPATH"] = root
-        env["JAX_PLATFORMS"] = "cpu"
-        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        try:
-            out1, _ = p1.communicate(timeout=280)
-            out0, _ = p0.communicate(timeout=60)
-        finally:
-            for p in (p0, p1):
-                if p.poll() is None:
-                    p.kill()
-        assert "SHARDED_CKPT_OK" in out0, out0
-        assert "SHARDED_CKPT_OK" in out1, out1
+""" % (str(ckdir),)
+        _run_two_process(tmp_path, worker_src, "SHARDED_CKPT_OK")
 
     def test_two_process_sgs_chain(self, tmp_path):
         """The SGS family on a REAL 2-process cluster: the batched packed-CG
@@ -256,24 +264,14 @@ print("SHARDED_CKPT_OK", flush=True)
         test in test_parallel.py proves sharded == unsharded; this proves
         the same program executes across process boundaries) and both
         processes observe the identical global loss trace."""
-        import os
-        import pathlib
-        import socket
-
-        root = str(pathlib.Path(__file__).resolve().parents[1])
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
-        worker = tmp_path / "worker.py"
-        worker.write_text(r"""
+        worker_src = r"""
 import sys
-sys.path.insert(0, %r)
 pid = int(sys.argv[1])
 import jax
 jax.config.update("jax_platforms", "cpu")
 from mcmc_tpu.parallel.distributed import (initialize_distributed,
                                            global_chains_mesh)
-ok = initialize_distributed(coordinator_address="localhost:%d",
+ok = initialize_distributed(coordinator_address="localhost:{PORT}",
                             num_processes=2, process_id=pid)
 assert ok and jax.process_count() == 2
 import numpy as np
@@ -297,26 +295,8 @@ assert 0.0 < acc <= 1.0, acc
 digest = loss.astype(np.float64).tobytes().hex()[:64]
 jax.distributed.shutdown()
 print("SGS_2PROC_OK", digest, flush=True)
-""" % (root, port))
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
-        env["PYTHONPATH"] = root
-        env["JAX_PLATFORMS"] = "cpu"
-        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        try:
-            out1, _ = p1.communicate(timeout=280)
-            out0, _ = p0.communicate(timeout=60)
-        finally:
-            for p in (p0, p1):
-                if p.poll() is None:
-                    p.kill()
-        assert "SGS_2PROC_OK" in out0, out0
-        assert "SGS_2PROC_OK" in out1, out1
+"""
+        out0, out1 = _run_two_process(tmp_path, worker_src, "SGS_2PROC_OK")
         # both processes observed the identical global trace
         d0 = out0.split("SGS_2PROC_OK")[1].split()[0]
         d1 = out1.split("SGS_2PROC_OK")[1].split()[0]
@@ -330,16 +310,8 @@ print("SGS_2PROC_OK", digest, flush=True)
         lands in the pod-sharded layout, and only process 0 writes the
         output arrays."""
         import json
-        import os
-        import pathlib
-        import socket
 
         import numpy as np
-
-        root = str(pathlib.Path(__file__).resolve().parents[1])
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
 
         from tests.test_cli import _crf_config, _write_dataset
 
@@ -347,13 +319,11 @@ print("SGS_2PROC_OK", digest, flush=True)
         cfg_path = tmp_path / "exp.json"
         cfg_path.write_text(json.dumps(_crf_config(n_iter=20)))
 
-        worker = tmp_path / "worker.py"
-        worker.write_text(r"""
+        worker_src = r"""
 import sys
-sys.path.insert(0, %r)
 pid = int(sys.argv[1])
 import os
-os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:%d"
+os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:{PORT}"
 os.environ["JAX_NUM_PROCESSES"] = "2"
 os.environ["JAX_PROCESS_ID"] = str(pid)
 import jax
@@ -363,26 +333,8 @@ rc = cli.main([%r, "--quiet"])
 assert rc == 0 and jax.process_count() == 2
 jax.distributed.shutdown()
 print("CLI_2PROC_OK", flush=True)
-""" % (root, port, str(cfg_path)))
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
-        env["PYTHONPATH"] = root
-        env["JAX_PLATFORMS"] = "cpu"
-        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        try:
-            out1, _ = p1.communicate(timeout=280)
-            out0, _ = p0.communicate(timeout=60)
-        finally:
-            for p in (p0, p1):
-                if p.poll() is None:
-                    p.kill()
-        assert "CLI_2PROC_OK" in out0, out0
-        assert "CLI_2PROC_OK" in out1, out1
+""" % (str(cfg_path),)
+        _run_two_process(tmp_path, worker_src, "CLI_2PROC_OK")
 
         beds = np.load(tmp_path / "beds.npy")
         assert beds.shape == (2, 48, 48) and np.isfinite(beds).all()
@@ -397,16 +349,8 @@ print("CLI_2PROC_OK", flush=True)
         SGS result-unpacking adds the replicated trend to non-addressable
         beds — the family-specific leaf layout must gather too)."""
         import json
-        import os
-        import pathlib
-        import socket
 
         import numpy as np
-
-        root = str(pathlib.Path(__file__).resolve().parents[1])
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
 
         from tests.test_cli import _sgs_config, _write_dataset
 
@@ -414,13 +358,11 @@ print("CLI_2PROC_OK", flush=True)
         cfg_path = tmp_path / "exp.json"
         cfg_path.write_text(json.dumps(_sgs_config(n_iter=16)))
 
-        worker = tmp_path / "worker.py"
-        worker.write_text(r"""
+        worker_src = r"""
 import sys
-sys.path.insert(0, %r)
 pid = int(sys.argv[1])
 import os
-os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:%d"
+os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:{PORT}"
 os.environ["JAX_NUM_PROCESSES"] = "2"
 os.environ["JAX_PROCESS_ID"] = str(pid)
 import jax
@@ -430,26 +372,8 @@ rc = cli.main([%r, "--quiet"])
 assert rc == 0 and jax.process_count() == 2
 jax.distributed.shutdown()
 print("CLI_SGS_2PROC_OK", flush=True)
-""" % (root, port, str(cfg_path)))
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
-        env["PYTHONPATH"] = root
-        env["JAX_PLATFORMS"] = "cpu"
-        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        try:
-            out1, _ = p1.communicate(timeout=280)
-            out0, _ = p0.communicate(timeout=60)
-        finally:
-            for p in (p0, p1):
-                if p.poll() is None:
-                    p.kill()
-        assert "CLI_SGS_2PROC_OK" in out0, out0
-        assert "CLI_SGS_2PROC_OK" in out1, out1
+""" % (str(cfg_path),)
+        _run_two_process(tmp_path, worker_src, "CLI_SGS_2PROC_OK")
         beds = np.load(tmp_path / "beds.npy")
         assert beds.shape == (2, 48, 48) and np.isfinite(beds).all()
 
@@ -460,26 +384,16 @@ print("CLI_SGS_2PROC_OK", flush=True)
         uninterrupted 40-iteration run (the reference's lsc_run_wrapper
         resume protocol, executed through the pod-sharded checkpoint
         layout + cross-process re-sharding on load)."""
-        import os
-        import pathlib
-        import socket
-
-        root = str(pathlib.Path(__file__).resolve().parents[1])
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
         ck_resume = tmp_path / "ck_resume"
         ck_full = tmp_path / "ck_full"
-        worker = tmp_path / "worker.py"
-        worker.write_text(r"""
+        worker_src = r"""
 import sys
-sys.path.insert(0, %r)
 pid = int(sys.argv[1])
 import jax
 jax.config.update("jax_platforms", "cpu")
 from mcmc_tpu.parallel.distributed import (initialize_distributed,
                                            global_chains_mesh)
-ok = initialize_distributed(coordinator_address="localhost:%d",
+ok = initialize_distributed(coordinator_address="localhost:{PORT}",
                             num_processes=2, process_id=pid)
 assert ok and jax.process_count() == 2
 import numpy as np
@@ -516,26 +430,9 @@ assert np.array_equal(ka, kb)
 jax.distributed.shutdown()
 print("RESUME_2PROC_OK", la.astype(np.float64).tobytes().hex()[:64],
       flush=True)
-""" % (root, port, str(ck_resume), str(ck_resume), str(ck_full)))
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
-        env["PYTHONPATH"] = root
-        env["JAX_PLATFORMS"] = "cpu"
-        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        try:
-            out1, _ = p1.communicate(timeout=280)
-            out0, _ = p0.communicate(timeout=60)
-        finally:
-            for p in (p0, p1):
-                if p.poll() is None:
-                    p.kill()
-        assert "RESUME_2PROC_OK" in out0, out0
-        assert "RESUME_2PROC_OK" in out1, out1
+""" % (str(ck_resume), str(ck_resume), str(ck_full))
+        out0, out1 = _run_two_process(tmp_path, worker_src,
+                                      "RESUME_2PROC_OK")
         d0 = out0.split("RESUME_2PROC_OK")[1].split()[0]
         d1 = out1.split("RESUME_2PROC_OK")[1].split()[0]
         assert d0 == d1
@@ -549,24 +446,14 @@ print("RESUME_2PROC_OK", la.astype(np.float64).tobytes().hex()[:64],
         identical global result, and it must match the single-process
         UNSHARDED run of the same chains (accept decisions exactly, loss
         to reduction-order tolerance)."""
-        import os
-        import pathlib
-        import socket
-
-        root = str(pathlib.Path(__file__).resolve().parents[1])
-        with socket.socket() as s:
-            s.bind(("localhost", 0))
-            port = s.getsockname()[1]
-        worker = tmp_path / "worker.py"
-        worker.write_text(r"""
+        worker_src = r"""
 import sys
-sys.path.insert(0, %r)
 pid = int(sys.argv[1])
 import jax
 jax.config.update("jax_platforms", "cpu")
 from mcmc_tpu.parallel.distributed import (initialize_distributed,
                                            global_chains_grid_mesh)
-ok = initialize_distributed(coordinator_address="localhost:%d",
+ok = initialize_distributed(coordinator_address="localhost:{PORT}",
                             num_processes=2, process_id=pid)
 assert ok and jax.process_count() == 2
 import numpy as np
@@ -615,27 +502,11 @@ print("COMBINED_2PROC_OK",
       stp.astype(np.int64).tobytes().hex(),
       loss.tobytes().hex(), flush=True)
 jax.distributed.shutdown()
-""" % (root, port))
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")}
-        env["PYTHONPATH"] = root
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-        p0 = subprocess.Popen([sys.executable, str(worker), "0"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        p1 = subprocess.Popen([sys.executable, str(worker), "1"],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env, cwd=root)
-        try:
-            out1, _ = p1.communicate(timeout=280)
-            out0, _ = p0.communicate(timeout=60)
-        finally:
-            for p in (p0, p1):
-                if p.poll() is None:
-                    p.kill()
-        assert "COMBINED_2PROC_OK" in out0, out0
-        assert "COMBINED_2PROC_OK" in out1, out1
+"""
+        out0, out1 = _run_two_process(
+            tmp_path, worker_src, "COMBINED_2PROC_OK",
+            extra_env={"XLA_FLAGS":
+                       "--xla_force_host_platform_device_count=2"})
         tok0 = out0.split("COMBINED_2PROC_OK")[1].split()[:2]
         tok1 = out1.split("COMBINED_2PROC_OK")[1].split()[:2]
         assert tok0 == tok1  # identical global result on both processes

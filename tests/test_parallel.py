@@ -443,3 +443,45 @@ class TestProgressRendering:
         steps = np.array([[1, 0, 1, 1], [0, 0, 0, 1]], np.int32)
         np.testing.assert_allclose(np.asarray(acceptance_rate(steps)),
                                    [0.75, 0.25])
+
+
+class TestPodLayoutGuards:
+    """The multi-process layout guards added after the pod review: the
+    auto-mesh heuristic and _host_np must never build (or silently
+    service) a mesh that excludes whole processes — on a real pod that is
+    a cross-process deadlock, not an error message.  Simulated here by
+    monkeypatching the process topology (a real N-host cluster cannot be
+    spun per-test; the REAL 2-process paths are in test_distributed.py)."""
+
+    def test_auto_mesh_rejects_indivisible_chains_on_pods(self, monkeypatch):
+        p = make_synthetic_problem(H=32, W=32)
+        chain = build_small_chain(p)
+        from mcmc_tpu.parallel import sampler as sampler_mod
+
+        monkeypatch.setattr(sampler_mod.jax, "process_count", lambda: 2)
+        # 3 chains over 8 global devices: the max-divisor heuristic would
+        # pick a 1- or 3-device mesh that can exclude a whole process
+        with pytest.raises(ValueError, match="not divisible"):
+            MultiChainSampler(chain, n_chains=3)
+        # divisible counts are still refused when the device list itself
+        # does not span every claimed process (all virtual devices here
+        # report process_index 0)
+        with pytest.raises(ValueError, match="spanning every process"):
+            MultiChainSampler(chain, n_chains=8)
+
+    def test_host_np_refuses_other_process_confined_array(self, monkeypatch):
+        from mcmc_tpu.parallel.sampler import _host_np
+
+        x = jnp.arange(4.0)  # committed to local (process-0) devices
+        from mcmc_tpu.parallel import sampler as sampler_mod
+
+        monkeypatch.setattr(sampler_mod.jax, "process_count", lambda: 2)
+        monkeypatch.setattr(sampler_mod.jax, "process_index", lambda: 1)
+        # the owner (process 0) sees a fully-addressable array and takes
+        # the plain fetch; a gather here would therefore deadlock — the
+        # non-owner must fail loudly instead
+        with pytest.raises(RuntimeError, match="confined to process"):
+            _host_np(x)
+        # the owner itself still takes the plain zero-copy fetch
+        monkeypatch.setattr(sampler_mod.jax, "process_index", lambda: 0)
+        np.testing.assert_array_equal(_host_np(x), [0.0, 1.0, 2.0, 3.0])
