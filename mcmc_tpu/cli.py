@@ -273,13 +273,15 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
     """
     chain, ds, initial_beds = build_experiment(cfg, config_dir)
 
-    # one-writer boundary for CONSOLE output too: on a pod every process
-    # computes the identical results, and ungated progress lines / summary
-    # would print P interleaved duplicate streams into the combined log
+    # one-writer boundary for the SUMMARY text: on a pod every process
+    # computes the identical results, and an ungated summary would print P
+    # duplicate streams into the combined log.  `progress` stays derived
+    # from the user's quiet flag (identical on every process) because the
+    # sampler's progress fetches are collectives on multi-process meshes —
+    # the sampler itself emits progress text only from process 0.
     import jax
 
-    if jax.process_index() != 0:
-        quiet = True
+    emit = jax.process_index() == 0
 
     farm = dict(cfg.get("farm", {}))
     n_chains = int(farm.get("n_chains", 1))
@@ -322,7 +324,7 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
             resampled_times=np.stack([r[5] for r in results]),
             blocks_used=np.stack([r[6] for r in results]))
 
-    if not quiet:
+    if not quiet and emit:
         _print_summary(results)
     return results
 

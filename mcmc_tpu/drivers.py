@@ -28,17 +28,21 @@ from .io.checkpoint import run_with_checkpointing
 from .parallel.sampler import MultiChainSampler
 
 def _pod_one_writer(quiet: bool, progress: bool):
-    """Silence every process but 0 on multi-process (pod) runs.
+    """Silence the completion banner on every process but 0 (pod runs).
 
-    All processes compute identical results, so ungated progress lines and
-    the completion banner would print P interleaved duplicate streams into
-    a combined pod log — console output belongs at the same one-writer
-    boundary as the file outputs (cli.run / checkpoint history segments).
+    All processes compute identical results, so an ungated banner would
+    print P duplicate streams into a combined pod log — console output
+    belongs at the same one-writer boundary as the file outputs (cli.run /
+    checkpoint history segments).  ``progress`` is deliberately NOT forced
+    off here: sampler.run's per-segment progress fetches are collectives
+    on a multi-process mesh and must execute on EVERY process (a
+    process-divergent `progress` flag would deadlock); run() itself emits
+    the progress text only from process 0.
     """
     import jax
 
     if jax.process_index() != 0:
-        return True, False
+        return True, progress
     return quiet, progress
 
 

@@ -497,8 +497,13 @@ class MultiChainSampler:
 
         collected = []
         bed_snaps = []
+        # pod one-writer boundary for the progress TEXT only: the fetches
+        # below are collectives on multi-process meshes, so `progress`
+        # must be process-identical and every process must execute the
+        # same _host_np calls — only the emission is process-0-gated
+        emit = jax.process_index() == 0
         renderer = None
-        if fancy_progress and progress:
+        if fancy_progress and progress and emit:
             from ..utils.progress import MultiChainProgress
 
             renderer = MultiChainProgress(self.n_chains, n_iter)
@@ -533,17 +538,21 @@ class MultiChainSampler:
             remaining -= n
             done += n
             seg_index += 1
-            if renderer is not None:
-                renderer.update(done, _host_np(states.loss_mc),
-                                _host_np(states.accepted) / max(done - 1, 1))
-            elif progress:
-                dt = time.time() - t0
-                rate = (done - 1) * self.n_chains / max(dt, 1e-9)
-                print(f"[sampler] iter {done}/{n_iter} | "
-                      f"{rate:,.0f} chain-it/s | "
-                      f"loss mean {_host_np(states.loss_mc).mean():.4e} | "
-                      f"acc {_host_np(states.accepted).mean() / max(done - 1, 1):.3f}",
-                      flush=True)
+            if progress:
+                # every process takes these (possibly collective) fetches;
+                # only process 0 renders/prints
+                loss_np = _host_np(states.loss_mc)
+                acc_np = _host_np(states.accepted) / max(done - 1, 1)
+                if renderer is not None:
+                    renderer.update(done, loss_np, acc_np)
+                elif emit:
+                    dt = time.time() - t0
+                    rate = (done - 1) * self.n_chains / max(dt, 1e-9)
+                    print(f"[sampler] iter {done}/{n_iter} | "
+                          f"{rate:,.0f} chain-it/s | "
+                          f"loss mean {loss_np.mean():.4e} | "
+                          f"acc {acc_np.mean():.3f}",
+                          flush=True)
             if segment_callback is not None:
                 segment_callback(done, states, traces_np)
 

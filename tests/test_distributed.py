@@ -329,12 +329,19 @@ os.environ["JAX_PROCESS_ID"] = str(pid)
 import jax
 jax.config.update("jax_platforms", "cpu")
 from mcmc_tpu import cli
-rc = cli.main([%r, "--quiet"])
+rc = cli.main([%r])   # NOT --quiet: console gating is under test below
 assert rc == 0 and jax.process_count() == 2
 jax.distributed.shutdown()
 print("CLI_2PROC_OK", flush=True)
 """ % (str(cfg_path),)
-        _run_two_process(tmp_path, worker_src, "CLI_2PROC_OK")
+        out0, out1 = _run_two_process(tmp_path, worker_src, "CLI_2PROC_OK")
+
+        # console one-writer boundary: the banner/summary print once (from
+        # process 0), never from process 1 — P duplicate streams otherwise
+        assert "chain farm complete" in out0, out0
+        assert "[mcmc-tpu] loss:" in out0, out0
+        assert "chain farm complete" not in out1, out1
+        assert "[mcmc-tpu]" not in out1, out1
 
         beds = np.load(tmp_path / "beds.npy")
         assert beds.shape == (2, 48, 48) and np.isfinite(beds).all()
