@@ -156,16 +156,27 @@ def main():
              sys.executable, str(worker), str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=str(ROOT)) for pid in (0, 1)]
-        outs = []
-        try:
-            # both workers run concurrently; the second budget only covers
-            # its remaining tail (total stays under CI's example timeout)
-            outs.append(procs[0].communicate(timeout=420)[0])
-            outs.append(procs[1].communicate(timeout=90)[0])
-        finally:
-            for p in procs:
-                if p.poll() is None:
+
+        def drain(p, budget):
+            # never raise on a hung worker: the port-race retry below must
+            # still run (a stolen coordinator port leaves the other worker
+            # retrying the connect far past these budgets); kill the whole
+            # process GROUP — p.kill() would hit only the timeout wrapper
+            # and orphan the python worker with no remaining kill path
+            import signal
+
+            try:
+                return p.communicate(timeout=budget)[0]
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(p.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
                     p.kill()
+                return p.communicate()[0]
+
+        # both workers run concurrently; the second budget only covers
+        # its remaining tail (total stays under CI's example timeout)
+        outs = [drain(procs[0], 420), drain(procs[1], 90)]
         return procs, outs
 
     procs, outs = launch()

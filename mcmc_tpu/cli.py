@@ -310,7 +310,7 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
     # on a multi-process (pod) run every process holds the identical
     # gathered results; only process 0 writes the output files (np.save is
     # not atomic — concurrent same-path writes could interleave)
-    save = cfg.get("save", {}) if jax.process_index() == 0 else {}
+    save = cfg.get("save", {}) if emit else {}
     if save.get("final_beds"):
         np.save(_resolve(config_dir, save["final_beds"]),
                 np.stack([r[0] for r in results]))

@@ -67,12 +67,16 @@ def _run_two_process(tmp_path, worker_src: str, marker: str,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=_ROOT) for i in (0, 1)]
         try:
-            out1, _ = procs[1].communicate(timeout=timeout)
-            out0, _ = procs[0].communicate(timeout=60)
+            # a hung worker must not error the test before the retry
+            # check below runs (a stolen coordinator port leaves the
+            # OTHER worker retrying the connect for ~5 min, far past
+            # these budgets) — drain with kill-on-timeout instead
+            out1 = _drain(procs[1], timeout)
+            out0 = _drain(procs[0], 60)
         finally:
             for p in procs:
                 if p.poll() is None:
-                    p.kill()
+                    _killpg(p)
         both = out0 + out1
         if (attempt == 0 and marker not in out0
                 and "address already in use" in both.lower()):
@@ -81,6 +85,32 @@ def _run_two_process(tmp_path, worker_src: str, marker: str,
     assert marker in out0, out0
     assert marker in out1, out1
     return out0, out1
+
+
+def _killpg(p):
+    """Kill a launched worker AND its coreutils `timeout` wrapper.
+
+    The wrapper makes itself the process-group leader (so its expiry can
+    kill the group); `p.kill()` alone would kill only the wrapper and
+    orphan the python worker — with the wrapper dead, its own hard-kill
+    could never fire either, blocking this single-core host indefinitely.
+    """
+    import signal
+
+    try:
+        os.killpg(p.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        p.kill()
+
+
+def _drain(p, budget: int) -> str:
+    """communicate() with a budget; on expiry kill the process group and
+    collect whatever output was produced (never raises TimeoutExpired)."""
+    try:
+        return p.communicate(timeout=budget)[0]
+    except subprocess.TimeoutExpired:
+        _killpg(p)
+        return p.communicate()[0]
 
 
 class TestMeshLayout:
