@@ -329,6 +329,54 @@ def run(cfg: dict, config_dir: Path = Path("."), quiet: bool = False):
     return results
 
 
+def info(cfg: dict, config_dir: Path = Path(".")) -> int:
+    """Print the experiment's resume status without building or sampling.
+
+    Lists the complete checkpoints (and trace-history coverage) that a
+    re-invocation of the same config would resume from — the readable
+    counterpart of the reference's ``current_iter.txt`` protocol.
+    """
+    from .io.checkpoint import CheckpointManager
+
+    farm = dict(cfg.get("farm", {}))
+    n_iter = int(farm.get("n_iter", 1000))
+    out = Path(_resolve(config_dir, farm.get("output_path", "mcmc_tpu_run")))
+    if cfg["family"] == "crf":
+        run_dir = out / "LargeScaleChain"
+    else:
+        tag = farm.get("lsc_rng_seed")
+        tag = str(tag) if tag is not None else "root"
+        run_dir = out / "LargeScaleChain" / tag / "SmallScaleChain"
+    print(f"[mcmc-tpu] family={cfg['family']} "
+          f"n_chains={int(farm.get('n_chains', 1))} "
+          f"target n_iter={n_iter}")
+    print(f"[mcmc-tpu] run dir: {run_dir}")
+    man = (CheckpointManager(run_dir).manifest() if run_dir.is_dir()
+           else {"checkpoints": [], "history_spans": []})
+    if not man["checkpoints"]:
+        print("[mcmc-tpu] no complete checkpoint — a run starts from "
+              "iteration 0")
+        return 0
+    import datetime
+
+    for c in man["checkpoints"]:
+        when = datetime.datetime.fromtimestamp(c["mtime"]).isoformat(
+            sep=" ", timespec="seconds")
+        print(f"[mcmc-tpu] checkpoint @ iter {c['iter']}: {c['layout']}, "
+              f"{len(c['files'])} file(s), {c['bytes'] / 1e6:.1f} MB, "
+              f"{when}")
+    if man["history_spans"]:
+        rows = ", ".join(f"{a}..{b}" for a, b in man["history_spans"])
+        print(f"[mcmc-tpu] trace history rows: {rows}")
+    latest = man["checkpoints"][-1]["iter"]
+    if latest >= n_iter:
+        print(f"[mcmc-tpu] resume: complete ({latest}/{n_iter})")
+    else:
+        print(f"[mcmc-tpu] resume: {latest}/{n_iter} done, "
+              f"{n_iter - latest} remaining")
+    return 0
+
+
 def _print_summary(results):
     losses = np.stack([r[3] for r in results])
     steps = np.stack([r[4] for r in results])
@@ -353,6 +401,9 @@ def main(argv=None) -> int:
     ap.add_argument("--dry-run", action="store_true",
                     help="validate the config and build the chain, "
                          "but do not sample")
+    ap.add_argument("--info", action="store_true",
+                    help="print the run directory's resume status "
+                         "(checkpoints, trace coverage) and exit")
     ap.add_argument("--quiet", action="store_true",
                     help="suppress progress and summary output")
     ns = ap.parse_args(argv)
@@ -367,6 +418,8 @@ def main(argv=None) -> int:
 
     cfg_path = Path(ns.config)
     cfg = load_config(cfg_path)
+    if ns.info:
+        return info(cfg, config_dir=cfg_path.parent)
     if ns.dry_run:
         _, ds, _ = build_experiment(cfg, config_dir=cfg_path.parent)
         if not ns.quiet:

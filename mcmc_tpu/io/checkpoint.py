@@ -262,6 +262,36 @@ class CheckpointManager:
         cps = self._checkpoints()
         return cps[-1][0] if cps else None
 
+    def manifest(self) -> dict:
+        """Inspect the run directory without loading any state.
+
+        The eyeball-readable counterpart of the reference's per-run file
+        zoo (``current_iter.txt`` / ``bed_{N}k.npy`` /
+        ``results_{N}k.npz``, largeScaleChain_multiprocessing.py:154-176)
+        for this layout's opaque npz checkpoints.  Returns::
+
+            {"checkpoints": [{"iter", "layout", "files", "bytes",
+                              "mtime"}, ...],          # oldest -> newest
+             "history_spans": [(start_row, end_row), ...]}  # trace files
+
+        Only COMPLETE checkpoints are listed (same completeness rules as
+        ``load``: sharded sets need their ``.ok`` marker and every shard).
+        """
+        self.flush()
+        cps = [{
+            "iter": it,
+            "layout": kind,
+            "files": [p.name for p in paths],
+            "bytes": sum(p.stat().st_size for p in paths),
+            "mtime": max(p.stat().st_mtime for p in paths),
+        } for it, kind, paths in self._checkpoints()]
+        spans = []
+        for p in self.dir.iterdir():
+            m = _HIST_RE.search(p.name)
+            if m:
+                spans.append((int(m.group(1)), int(m.group(2))))
+        return {"checkpoints": cps, "history_spans": sorted(spans)}
+
     def _delete_iter_files(self, it: int):
         """Remove every artifact of checkpoint ``it`` this process is
         responsible for (marker first, so readers never see a complete-

@@ -240,3 +240,46 @@ class TestCLI:
                            "grounded")})
         ds = cli.load_dataset(path)
         assert ds["resolution"] == pytest.approx(p["resolution"])
+
+
+class TestInfo:
+    """`mcmc-tpu config --info`: resume status without building/sampling
+    (the readable counterpart of the reference's current_iter.txt)."""
+
+    def test_info_fresh_dir(self, tmp_path, capsys):
+        _write_dataset(tmp_path)
+        cfg_path = _write_config(tmp_path, _crf_config(n_iter=20))
+        assert cli.main([str(cfg_path), "--info"]) == 0
+        out = capsys.readouterr().out
+        assert "no complete checkpoint" in out
+        assert "family=crf" in out and "target n_iter=20" in out
+
+    def test_info_after_run_and_manifest(self, tmp_path, capsys):
+        _write_dataset(tmp_path)
+        cfg_path = _write_config(tmp_path, _crf_config(n_iter=20))
+        assert cli.main([str(cfg_path), "--quiet"]) == 0
+        capsys.readouterr()
+        assert cli.main([str(cfg_path), "--info"]) == 0
+        out = capsys.readouterr().out
+        assert "checkpoint @ iter 20: single" in out, out
+        assert "resume: complete (20/20)" in out, out
+        # per-segment files; the spans tile the full 0..20 row range
+        # (segment 1 carries the initial-state row, hence 0..11)
+        assert "trace history rows: 0..11, 11..20" in out, out
+
+        # a longer target reports the remaining count
+        _write_config(tmp_path, _crf_config(n_iter=50))
+        assert cli.main([str(cfg_path), "--info"]) == 0
+        out = capsys.readouterr().out
+        assert "resume: 20/50 done, 30 remaining" in out, out
+
+        # the public manifest agrees with what load() would resume from
+        from mcmc_tpu.io.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(tmp_path / "run" / "LargeScaleChain")
+        man = mgr.manifest()
+        assert [c["iter"] for c in man["checkpoints"]] == [20]
+        assert man["checkpoints"][-1]["layout"] == "single"
+        assert man["checkpoints"][-1]["bytes"] > 0
+        assert man["history_spans"] == [(0, 11), (11, 20)]
+        assert mgr.latest_iter() == 20
