@@ -114,6 +114,11 @@ class TestCheckpoint:
         assert "checkpoint_5.ok" in names
         assert "checkpoint_5.proc0of1.npz" in names
         assert mgr.latest_iter() == 5
+        man = mgr.manifest()
+        assert [(c["iter"], c["layout"]) for c in man["checkpoints"]] == [
+            (5, "sharded")]
+        assert man["checkpoints"][0]["files"] == [
+            "checkpoint_5.proc0of1.npz"]
         it, loaded, _, meta = mgr.load()
         assert it == 5 and meta == {"tag": "sharded"}
         for f in dataclasses.fields(type(states)):
