@@ -248,6 +248,68 @@ def _cores():
         return 1
 
 
+def _pinned_baseline():
+    """Pinned single-core CPU-twin rates (BASELINE.json measured_cpu_twin).
+
+    vs_baseline is computed against the pin so the headline is comparable
+    across rounds; the fresh twin measured each run is only a drift check
+    (VERDICT r3 next-#2: r03's fresh twin was ~3.7x depressed by host
+    contention, inflating that round's ratio)."""
+    import json as _json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.json")
+    with open(path) as f:
+        m = _json.load(f)["measured_cpu_twin"]
+    return (float(m["crf_it_per_sec_single_core"]),
+            float(m["sgs_it_per_sec_single_core"]))
+
+
+def _twin_drift(fresh, pinned, label):
+    """Host-contention detector: flag a fresh twin >2x off the pin."""
+    ratio = fresh / pinned if pinned > 0 else float("inf")
+    contended = not (0.5 <= ratio <= 2.0)
+    if contended:
+        log(f"[bench] WARNING: fresh {label} twin {fresh:.3g} it/s is "
+            f"{ratio:.2f}x the pinned {pinned:.3g} — host contention "
+            f"suspected; vs_baseline uses the PIN (fresh kept as "
+            f"*_fresh fields)")
+    return contended
+
+
+def check_fused_parity(chain, n_chains=128, n_steps=200):
+    """On-hardware bitwise attestation: fused Pallas window kernel == the
+    vmapped XLA step over a real run (VERDICT r3 next-#6 — CI asserts this
+    in Pallas interpret mode only; this closes the loop on the device).
+    Returns True/False (never raises: a parity break must surface in the
+    JSON, not kill the benchmark)."""
+    from mcmc_tpu.parallel import MultiChainSampler
+
+    try:
+        outs = {}
+        for impl in ("fused", "xla"):
+            s = MultiChainSampler(chain, n_chains=n_chains, impl=impl)
+            st = s.init(seeds=42)
+            st, tr = s.run_segment(st, n_steps)
+            outs[impl] = (np.asarray(st.bed), np.asarray(tr["loss"]),
+                          np.asarray(tr["step"]))
+            _ = float(outs[impl][0].ravel()[0])  # real sync
+        names = ("bed", "loss trace", "step trace")
+        ok = True
+        for name, a, b in zip(names, outs["fused"], outs["xla"]):
+            if not np.array_equal(a, b):
+                bad = int(np.sum(a != b))
+                log(f"[bench] fused parity MISMATCH in {name}: "
+                    f"{bad}/{a.size} elements differ")
+                ok = False
+        log(f"[bench] fused-vs-XLA on-device parity over {n_steps} steps x "
+            f"{n_chains} chains: {'OK (bitwise)' if ok else 'FAILED'}")
+        return ok
+    except Exception as e:  # e.g. CPU-only env: fused path unavailable
+        log(f"[bench] fused parity check errored: {e!r}")
+        return False
+
+
 def _device_watchdog(timeout_s=240, attempts=2, env=None):
     """Bound backend init: the tunneled axon backend HANGS indefinitely when
     the tunnel is down (observed 2026-08-17: jax.devices() still blocked
@@ -286,23 +348,52 @@ def _device_watchdog(timeout_s=240, attempts=2, env=None):
 # independent-chain count buys ESS until it plateaus at 512; scaling table
 # in NOTES_ROUND3.md)
 N_CHAINS_SGS = 512
+# 1536 chains (4 chunked launches of 384): the ESS/sec-optimal CRF
+# operating point — trades ~3% aggregate it/s vs 768 for ~2.6x ESS/s
+# (NOTES_ROUND3.md chunked-dispatch table). BASELINE.md's north-star is
+# ESS/sec, so both operating points land in the JSON (VERDICT r3 next-#3).
+N_CHAINS_ESS = 1536
+# The reference's T1 production domain is 900x900
+# (largeScaleChain_multiprocessing.py:483); 900%8 != 0 so the sampler
+# auto-pads to 904x1024 to keep the fused kernel. 384 chains is the
+# measured optimum at this size (NOTES_ROUND3.md production-grid table).
+GRID_PROD = 900
+N_CHAINS_PROD = 384
 
 
 def main():
     _device_watchdog()
+    pin_crf, pin_sgs = _pinned_baseline()
+    cores = _cores()
     p = build_problem()
     chain = make_chain(p)
     chain.set_crf_data_weight()
-    cpu_farm, cpu_single = measure_cpu_baseline(p, chain)
+    cpu_farm_fresh, cpu_fresh = measure_cpu_baseline(p, chain)
+    crf_contended = _twin_drift(cpu_fresh, pin_crf, "CRF")
     # segment=2000: per-segment trace transfers cost ~50 ms on the
     # tunneled link; 500-iter segments underreport by ~10% (a 200k-iter
     # soak at segment 2000 sustains 324k it/s, 2026-08-17)
     tpu_rate, ess_rate, acc = measure_tpu(chain, label="TPU CRF", segment=2000,
                                         min_seconds=8.0, max_iters=12000,
                                         burn_iters=8000)
+    # ESS-optimal operating point (same problem, 4x384 chunked launches)
+    ess_opt_rate, ess_opt_ess, ess_opt_acc = measure_tpu(
+        chain, n_chains=N_CHAINS_ESS, label="TPU CRF ess-opt", segment=2000,
+        min_seconds=8.0, max_iters=12000, burn_iters=8000)
+    # on-device fused==XLA bitwise attestation (cheap chain count)
+    fused_parity = check_fused_parity(chain)
+
+    # unaligned production-shape grid (auto-padded 904x1024 fused path)
+    p_prod = build_problem(H=GRID_PROD, W=GRID_PROD)
+    chain_prod = make_chain(p_prod)
+    chain_prod.set_crf_data_weight()
+    prod_rate, prod_ess, prod_acc = measure_tpu(
+        chain_prod, n_chains=N_CHAINS_PROD, label="TPU CRF 900x900 autopad",
+        segment=2000, min_seconds=8.0, max_iters=8000, burn_iters=4000)
 
     sgs_chain = make_sgs_chain(p)
-    sgs_cpu_farm, sgs_cpu_single = measure_cpu_sgs_baseline(p, sgs_chain)
+    sgs_cpu_farm_fresh, sgs_cpu_fresh = measure_cpu_sgs_baseline(p, sgs_chain)
+    sgs_contended = _twin_drift(sgs_cpu_fresh, pin_sgs, "SGS")
     sgs_rate, sgs_ess_rate, sgs_acc = measure_tpu(
         sgs_chain, n_chains=N_CHAINS_SGS, segment=400, min_seconds=6.0,
         max_iters=2400, label="TPU SGS", burn_iters=2000)
@@ -311,17 +402,36 @@ def main():
         "metric": f"chain_iters_per_sec_{N_CHAINS}chains_{GRID}x{GRID}",
         "value": round(tpu_rate, 1),
         "unit": "chain-iterations/sec",
-        "vs_baseline": round(tpu_rate / cpu_farm, 2),
-        # context so the headline is honest (VERDICT.md weak #6): the
-        # baseline is the measured single-core twin x all physical cores
-        "cpu_cores": _cores(),
-        "cpu_twin_it_per_sec_single_core": round(cpu_single, 2),
+        # headline ratio vs the PINNED single-core twin x physical cores —
+        # round-comparable by construction (the fresh twin only drift-checks)
+        "vs_baseline": round(tpu_rate / (pin_crf * cores), 2),
+        "cpu_cores": cores,
+        "cpu_twin_pinned_it_per_sec_single_core": pin_crf,
+        "cpu_twin_fresh_it_per_sec_single_core": round(cpu_fresh, 2),
+        "vs_baseline_fresh_twin": round(tpu_rate / cpu_farm_fresh, 2),
+        "cpu_twin_contended": crf_contended,
         "ess_loss_per_sec": round(ess_rate, 2),
         "acceptance": round(acc, 3),
+        # ESS/sec-optimal CRF operating point (BASELINE.md north-star)
+        "ess_optimal_n_chains": N_CHAINS_ESS,
+        "ess_optimal_chain_iters_per_sec": round(ess_opt_rate, 1),
+        "ess_optimal_ess_loss_per_sec": round(ess_opt_ess, 2),
+        "ess_optimal_acceptance": round(ess_opt_acc, 3),
+        # fused Pallas kernel == vmapped XLA step, bitwise, on hardware
+        "fused_parity": fused_parity,
+        # reference production grid shape (900x900 -> auto-pad 904x1024)
+        "unaligned_900x900_chain_iters_per_sec": round(prod_rate, 1),
+        "unaligned_900x900_n_chains": N_CHAINS_PROD,
+        "unaligned_900x900_ess_loss_per_sec": round(prod_ess, 2),
+        "unaligned_900x900_acceptance": round(prod_acc, 3),
         # small-scale (SGS) chain family, same keys
         "sgs_chain_iters_per_sec": round(sgs_rate, 1),
-        "sgs_vs_baseline": round(sgs_rate / max(sgs_cpu_farm, 1e-9), 2),
-        "sgs_cpu_twin_it_per_sec_single_core": round(sgs_cpu_single, 3),
+        "sgs_vs_baseline": round(sgs_rate / (pin_sgs * cores), 2),
+        "sgs_cpu_twin_pinned_it_per_sec_single_core": pin_sgs,
+        "sgs_cpu_twin_fresh_it_per_sec_single_core": round(sgs_cpu_fresh, 3),
+        "sgs_vs_baseline_fresh_twin": round(
+            sgs_rate / max(sgs_cpu_farm_fresh, 1e-9), 2),
+        "sgs_cpu_twin_contended": sgs_contended,
         "sgs_ess_loss_per_sec": round(sgs_ess_rate, 2),
         "sgs_acceptance": round(sgs_acc, 3),
         "sgs_n_chains": N_CHAINS_SGS,

@@ -29,6 +29,51 @@ class TestBenchPieces:
         assert single > 0 and farm_rate >= single
 
 
+class TestPinnedBaseline:
+    """vs_baseline must be computed against the pinned twin rates
+    (BASELINE.json), with the fresh twin acting only as a drift check
+    (VERDICT r3 next-#2)."""
+
+    def test_pin_loads(self):
+        import bench
+
+        crf, sgs = bench._pinned_baseline()
+        assert crf == 337.5 and sgs == 0.125
+
+    def test_drift_detector(self):
+        import bench
+
+        assert not bench._twin_drift(337.0, 337.5, "CRF")   # in band
+        assert not bench._twin_drift(180.0, 337.5, "CRF")   # 0.53x: in band
+        assert bench._twin_drift(90.9, 337.5, "CRF")        # the r03 case
+        assert bench._twin_drift(800.0, 337.5, "CRF")       # too fast = odd
+
+    def test_main_uses_pin_for_vs_baseline(self):
+        """Structural: the headline ratio divides by the pin, not the
+        fresh twin."""
+        import inspect
+
+        import bench
+
+        src = inspect.getsource(bench.main)
+        assert "tpu_rate / (pin_crf * cores)" in src
+        assert "sgs_rate / (pin_sgs * cores)" in src
+
+
+class TestFusedParityCheck:
+    def test_returns_bool_never_raises(self):
+        """On this CPU test platform the fused sampler path is unavailable;
+        the check must come back False (logged), not raise — a parity
+        problem has to surface in the bench JSON, not kill the run."""
+        import bench
+
+        p = bench.build_problem(H=128, W=128)
+        chain = bench.make_chain(p)
+        chain.set_crf_data_weight()
+        ok = bench.check_fused_parity(chain, n_chains=8, n_steps=2)
+        assert isinstance(ok, bool)
+
+
 class TestDeviceWatchdog:
     """bench aborts fast (rc 2) when backend init hangs, passes when healthy
     (the tunneled axon backend blocks indefinitely when the tunnel is down —
