@@ -277,37 +277,73 @@ def _twin_drift(fresh, pinned, label):
     return contended
 
 
-def check_fused_parity(chain, n_chains=128, n_steps=200):
-    """On-hardware bitwise attestation: fused Pallas window kernel == the
-    vmapped XLA step over a real run (VERDICT r3 next-#6 — CI asserts this
-    in Pallas interpret mode only; this closes the loop on the device).
-    Returns True/False (never raises: a parity break must surface in the
-    JSON, not kill the benchmark)."""
+def check_fused_parity(chain, n_chains=384, n_steps=200):
+    """On-hardware numerical-equivalence attestation: fused Pallas window
+    kernel vs the vmapped XLA step (VERDICT r3 next-#6).
+
+    Bitwise identity holds in Pallas interpret mode (CI,
+    tests/test_window_kernel.py) but NOT on hardware: the kernel's VPU
+    reduction order differs from XLA's tiled reductions, so the block
+    standardization and the loss delta differ at the last-ulp level
+    (measured 2026-08-19 on v5e-1, 384 chains: after ONE step from
+    identical states the accept decisions are identical, bed max|diff|
+    3.7e-4 m on ~700 m beds (~5e-7 relative), loss rel <= 1.1e-7), and
+    over long runs those ulps occasionally flip a borderline MH accept
+    (measured 8/76,800 decisions = 0.010% — the same class as the
+    documented 0.028% auto-pad flips, NOTES_ROUND3.md), after which the
+    two trajectories legitimately diverge.  The attestation therefore
+    checks (a) single-step: accepts identical + ulp-scale numeric deltas,
+    (b) long-run: flip rate < 0.1% and pre-flip loss agreement < 5e-6.
+
+    Returns (ok, flip_rate); never raises — a parity break must surface in
+    the JSON, not kill the benchmark."""
     from mcmc_tpu.parallel import MultiChainSampler
 
     try:
-        outs = {}
+        # (a) single step from identical states: accepts must match exactly
+        one = {}
         for impl in ("fused", "xla"):
             s = MultiChainSampler(chain, n_chains=n_chains, impl=impl)
-            st = s.init(seeds=42)
-            st, tr = s.run_segment(st, n_steps)
-            outs[impl] = (np.asarray(st.bed), np.asarray(tr["loss"]),
-                          np.asarray(tr["step"]))
-            _ = float(outs[impl][0].ravel()[0])  # real sync
-        names = ("bed", "loss trace", "step trace")
-        ok = True
-        for name, a, b in zip(names, outs["fused"], outs["xla"]):
-            if not np.array_equal(a, b):
-                bad = int(np.sum(a != b))
-                log(f"[bench] fused parity MISMATCH in {name}: "
-                    f"{bad}/{a.size} elements differ")
-                ok = False
-        log(f"[bench] fused-vs-XLA on-device parity over {n_steps} steps x "
-            f"{n_chains} chains: {'OK (bitwise)' if ok else 'FAILED'}")
-        return ok
+            st, tr = s.run_segment(s.init(seeds=42), 1)
+            one[impl] = (np.asarray(st.bed), np.asarray(tr["loss"]),
+                         np.asarray(tr["step"]))
+        bf, lf, sf = one["fused"]
+        bx, lx, sx_ = one["xla"]
+        bed_rel = float(np.max(np.abs(bf - bx)) / max(1.0, np.max(np.abs(bx))))
+        loss_rel = float(np.max(np.abs(lf - lx) / np.abs(lx)))
+        step_ok = bool(np.array_equal(sf, sx_))
+        ok = step_ok and bed_rel < 1e-5 and loss_rel < 1e-6
+        log(f"[bench] fused parity single-step: accepts equal={step_ok}, "
+            f"bed rel diff {bed_rel:.2e}, loss rel diff {loss_rel:.2e}")
+
+        # (b) long run: borderline-MH flip census from the traces
+        tr2 = {}
+        for impl in ("fused", "xla"):
+            s = MultiChainSampler(chain, n_chains=n_chains, impl=impl)
+            _, tr = s.run_segment(s.init(seeds=42), n_steps)
+            tr2[impl] = (np.asarray(tr["loss"]), np.asarray(tr["step"]))
+        Lf, Sf = tr2["fused"]
+        Lx, Sx = tr2["xla"]
+        diff = Sf != Sx                       # (n_steps, n_chains)
+        any_flip = diff.any(axis=0)
+        first = np.where(any_flip, diff.argmax(axis=0), n_steps)
+        comparable = int(np.minimum(first + 1, n_steps).sum())
+        flip_rate = float(any_flip.sum() / max(comparable, 1))
+        pre_rel = 0.0
+        for c in range(n_chains):
+            t = int(first[c])
+            if t:
+                pre_rel = max(pre_rel, float(np.max(
+                    np.abs(Lf[:t, c] - Lx[:t, c]) / np.abs(Lx[:t, c]))))
+        ok = ok and flip_rate < 1e-3 and pre_rel < 5e-6
+        log(f"[bench] fused parity {n_steps}-step census: "
+            f"{int(any_flip.sum())}/{n_chains} chains flip a borderline "
+            f"accept (rate {flip_rate:.2e}), pre-flip loss rel diff "
+            f"{pre_rel:.2e} -> {'OK' if ok else 'FAILED'}")
+        return ok, flip_rate
     except Exception as e:  # e.g. CPU-only env: fused path unavailable
         log(f"[bench] fused parity check errored: {e!r}")
-        return False
+        return False, -1.0  # -1 = not measured (NaN is not valid JSON)
 
 
 def _device_watchdog(timeout_s=240, attempts=2, env=None):
@@ -380,8 +416,8 @@ def main():
     ess_opt_rate, ess_opt_ess, ess_opt_acc = measure_tpu(
         chain, n_chains=N_CHAINS_ESS, label="TPU CRF ess-opt", segment=2000,
         min_seconds=8.0, max_iters=12000, burn_iters=8000)
-    # on-device fused==XLA bitwise attestation (cheap chain count)
-    fused_parity = check_fused_parity(chain)
+    # on-device fused-vs-XLA numerical-equivalence attestation
+    fused_parity, fused_flip_rate = check_fused_parity(chain)
 
     # unaligned production-shape grid (auto-padded 904x1024 fused path)
     p_prod = build_problem(H=GRID_PROD, W=GRID_PROD)
@@ -417,8 +453,11 @@ def main():
         "ess_optimal_chain_iters_per_sec": round(ess_opt_rate, 1),
         "ess_optimal_ess_loss_per_sec": round(ess_opt_ess, 2),
         "ess_optimal_acceptance": round(ess_opt_acc, 3),
-        # fused Pallas kernel == vmapped XLA step, bitwise, on hardware
+        # fused Pallas kernel vs vmapped XLA step on hardware: single-step
+        # accepts identical + ulp-scale numeric deltas + borderline-MH flip
+        # rate < 0.1% over a long run (see check_fused_parity docstring)
         "fused_parity": fused_parity,
+        "fused_mh_flip_rate": round(fused_flip_rate, 6),
         # reference production grid shape (900x900 -> auto-pad 904x1024)
         "unaligned_900x900_chain_iters_per_sec": round(prod_rate, 1),
         "unaligned_900x900_n_chains": N_CHAINS_PROD,

@@ -70,8 +70,9 @@ class TestFusedParityCheck:
         p = bench.build_problem(H=128, W=128)
         chain = bench.make_chain(p)
         chain.set_crf_data_weight()
-        ok = bench.check_fused_parity(chain, n_chains=8, n_steps=2)
+        ok, flip_rate = bench.check_fused_parity(chain, n_chains=8, n_steps=2)
         assert isinstance(ok, bool)
+        assert isinstance(flip_rate, float)
 
 
 class TestDeviceWatchdog:

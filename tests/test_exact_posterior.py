@@ -391,6 +391,138 @@ def _sgs_exact_posterior(p, fij):
     return mu, Sigma
 
 
+def test_sgs_transformed_detrended_samples_exact_posterior():
+    """The PRODUCTION small-scale configuration — detrend + normal-score
+    transform (reference smallScaleChain_multiprocessing.py:486-497) — has
+    the same closed form when the fitted transform is (near-)affine.
+
+    With ``do_transform=True`` the chain state is z = nst(bed - trend), the
+    proposal re-simulates z-blocks from the exact conditional of the
+    z-space GP prior, and the likelihood is evaluated on
+    ``bed = trend + nst^{-1}(z)`` (MCMC.py:1766-1784 semantics).  The prior
+    conditional densities still cancel in the MH ratio, so the chain
+    targets ``pi(z) ~ p_GP(z) exp(-loss(trend + nst^{-1}(z)))`` exactly.
+    Building the quantile table as an affine image of a z-uniform grid
+    makes ``nst^{-1}(z) = lam * z`` to within the quantile-table
+    interpolation error (checked < 0.2% of lam below), so the target is
+    again an exact Gaussian: precision ``K = K_prior,z + lam^2 A^T A /
+    sigma^2`` over the block-reachable free set, conditioned on the frozen
+    exterior (z_ext = 0).  A constant mass-conservation bias inside the
+    region tilts the posterior mean away from the trend, so the test
+    checks a genuinely asymmetric target — any bug in the z-plane cache,
+    the device LUT transform/inverse, the detrended bookkeeping, or the MH
+    ratio under the transform shows up as a moment deviation.
+
+    Closes VERDICT r3 next-#8: RF, CRF_weight, and raw-SGS had exact-
+    posterior coverage; the transformed/detrended path (what production
+    runs) did not.
+    """
+    from scipy.stats import norm
+
+    from mcmc_tpu.ops.transforms import NormalScoreTransform
+
+    p = _sgs_problem()
+    # constant mass-conservation bias on the region: r(bed_true) = DELTA
+    # there, so the posterior mean is tilted off the trend
+    DELTA = 5.0
+    p = dict(p, smb=p["smb"] - DELTA * (p["region"] == 1))
+
+    # --- affine normal-score transform ------------------------------------
+    # ``fit`` places table nodes uniformly in PROBABILITY, so the far tail
+    # (sparse in z) interpolates linearly-in-p and deviates from affine by
+    # ~0.08*LAM at |z|=3.5 (measured).  Build the table directly on a
+    # z-uniform grid instead: quantiles = LAM * z over cdf(z) references —
+    # the identical interp/LUT machinery, but affine to O(dz^2) everywhere
+    # the chain can reach.
+    LAM = 8.0
+    zgrid = np.linspace(-6.0, 6.0, 2401)
+    nst = NormalScoreTransform(quantiles=LAM * zgrid,
+                               references=norm.cdf(zgrid))
+    zg = np.linspace(-3.5, 3.5, 401)
+    xg = np.asarray(nst.inverse_np(zg))
+    lam_eff = float(np.dot(zg, xg) / np.dot(zg, zg))
+    aff_err = np.max(np.abs(xg - lam_eff * zg))
+    assert aff_err < 2e-3 * LAM, f"transform not affine: {aff_err:.4f}"
+    assert abs(float(np.asarray(nst.transform_np(0.0)))) < 1e-9
+
+    fij = _sgs_free_set()
+
+    # --- exact posterior in z-space ----------------------------------------
+    spec = CovarianceSpec("exponential", s=None)
+    rot = np.asarray(make_rotation_matrix(0.0, SGS_VRANGE, SGS_VRANGE),
+                     np.float64)
+    pts = np.stack([p["xx"].ravel(), p["yy"].ravel()], -1)
+    d = np.linalg.norm((pts[:, None, :] - pts[None, :, :]) @ rot.T, axis=-1)
+    Sig_z = np.asarray(covariance_norm(spec, d, 1.0, 0.0), np.float64)
+    fidx = fij[:, 0] * SGS_W + fij[:, 1]
+    K_prior = np.linalg.inv(Sig_z)[np.ix_(fidx, fidx)]
+
+    b0 = p["bed_true"].astype(np.float64)
+
+    def res(b):
+        return np.asarray(ref.mass_conservation_residual(
+            b, p["surf"], p["velx"], p["vely"], p["dhdt"], p["smb"],
+            RES), np.float64).ravel()
+
+    r0 = res(b0)
+    cols = []
+    for (i, j) in fij:
+        bp = b0.copy()
+        bp[i, j] += 1.0
+        cols.append(res(bp) - r0)
+    A = np.stack(cols, axis=1)
+    K = K_prior + lam_eff ** 2 * (A.T @ A) / SIGMA ** 2
+    Sigma_z = np.linalg.inv(K)
+    mu_z = Sigma_z @ (-lam_eff * A.T @ r0 / SIGMA ** 2)
+    # the tilt must be non-trivial (or the test degenerates to symmetric)
+    # yet keep z well inside the transform's affine range
+    assert 0.25 < np.max(np.abs(mu_z)) < 2.5, f"tilt {np.max(np.abs(mu_z))}"
+    mu_bed = b0[fij[:, 0], fij[:, 1]] + lam_eff * mu_z
+    sd_bed = lam_eff * np.sqrt(np.diag(Sigma_z))
+
+    # --- chain: production-style detrend + transform ------------------------
+    chain = ChainSGS(p["xx"], p["yy"], p["bed_true"].copy(), p["surf"],
+                     p["velx"], p["vely"], p["dhdt"], p["smb"],
+                     p["cond_bed"], p["data_mask"], p["grounded"], RES)
+    chain.set_update_region(True, p["region"])
+    chain.set_loss_type(sigma_mc=SIGMA, massConvInRegion=False)
+    chain.set_trend(p["bed_true"].astype(np.float32), detrend_map=True)
+    chain.set_normal_transformation(nst, do_transform=True)
+    chain.set_variogram("Exponential", SGS_VRANGE, 1.0, 0.0)  # z-space sill
+    chain.set_sgs_param(96, 1500.0)
+    chain.cg_iters = 32
+    chain.set_block_sizes(SGS_BMIN, SGS_BMAX, SGS_BMIN, SGS_BMAX)
+    chain.set_sample_points_locations(
+        np.stack([p["xx"][fij[:, 0], fij[:, 1]],
+                  p["yy"][fij[:, 0], fij[:, 1]]], axis=1))
+
+    C, N, BURN = 48, 4000, 1000
+    sampler = MultiChainSampler(chain, n_chains=C)
+    states = sampler.init(seeds=7)
+    _, traces = sampler.run(states, n_iter=N, segment_size=N, progress=False)
+    S = np.asarray(traces["samples"], np.float64)[:, BURN:, :]
+
+    acc = np.asarray(traces["step"])[:, 1:].mean()
+    assert 0.05 < acc < 0.95, f"degenerate acceptance {acc:.3f}"
+
+    # --- mean (bed space) vs trend + exact tilt ----------------------------
+    per_chain_mean = S.mean(axis=1)
+    grand = per_chain_mean.mean(axis=0)
+    se = per_chain_mean.std(axis=0, ddof=1) / np.sqrt(C)
+    z = (grand - mu_bed) / se
+    assert np.max(np.abs(z)) < 5.0, (
+        f"posterior mean off: max|z|={np.max(np.abs(z)):.2f}, "
+        f"worst cell err {(grand - mu_bed)[np.argmax(np.abs(z))]:.3f} m")
+    assert np.sqrt(np.mean(z ** 2)) < 2.0, (
+        f"mean z rms {np.sqrt(np.mean(z**2)):.2f}")
+    assert np.max(np.abs(grand - mu_bed) / sd_bed) < 0.2
+
+    # --- marginal variances --------------------------------------------------
+    ratio = S.var(axis=1, ddof=1).mean(axis=0) / sd_bed ** 2
+    assert np.all(ratio > 0.8) and np.all(ratio < 1.2), (
+        f"variance ratio range [{ratio.min():.2f}, {ratio.max():.2f}]")
+
+
 def test_sgs_samples_exact_prior_times_likelihood_posterior():
     p = _sgs_problem()
     fij = _sgs_free_set()
