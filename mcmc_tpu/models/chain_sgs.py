@@ -95,7 +95,8 @@ class SGSStatic:
     dropout: bool
     has_nugget: bool = False
     cg_iters: int = 64
-    NE: int = 0  # circulant-embedding FFT size (>= 2*SB)
+    NE: int = 0  # circulant-embedding FFT size (>= 2*SB, nonneg embedding)
+    NA: int = 0  # kriging-adjustment FFT size (>= 2*SB; definiteness-free)
     # analytic S_CC via nonneg gaussian+exponential mixture (see build);
     # Mg/Me = number of mixture terms, 0/0 => stamp-gather fallback
     Mg: int = 0
@@ -111,10 +112,11 @@ class SGSConsts:
     sample_ij: jnp.ndarray
     nst: NormalScoreLUT  # uniform-grid LUT of the fitted transform (hot path)
     cov_stamp: jnp.ndarray    # (NE, NE) periodized covariance stamp C(offset)
-    embed_spec: jnp.ndarray   # (NE, NE//2+1) exact half circulant spectrum
-    #                           of the covariance stamp (adjustment conv)
-    embed_sqrt: jnp.ndarray   # (NE, NE) sqrt of the clamped spectrum
-    #                           (unconditional circulant-embedding draw)
+    embed_spec: jnp.ndarray   # (NA, NA//2+1) exact half circulant spectrum
+    #                           on the SMALLER adjustment grid (exact linear
+    #                           conv only needs NA >= 2*SB, not definiteness)
+    embed_sqrt: jnp.ndarray   # (NE, NE//2+1) half-spectrum sqrt of the
+    #                           clamped spectrum (unconditional draw)
     rot: jnp.ndarray          # (2, 2) anisotropy matrix
     sill: jnp.ndarray
     nugget: jnp.ndarray
@@ -218,40 +220,72 @@ for _cls in (SGSConsts, SGSState):
     )
 
 
+def _fft_sizes(lo, hi):
+    """Even 2,3,5-smooth FFT sizes in [lo, hi] ascending (good XLA radices)."""
+    out = []
+    for n in range(lo + (lo & 1), hi + 1, 2):
+        m = n
+        for p in (2, 3, 5):
+            while m % p == 0:
+                m //= p
+        if m == 1:
+            out.append(n)
+    return out or [hi]
+
+
+def _periodized_stamp(spec, rot_np, sill, nugget, resolution, N):
+    from ..ops.covariance import covariance_norm as _covn
+
+    k = np.arange(N)
+    off = np.where(k <= N // 2, k, k - N)
+    di, dj = np.meshgrid(off, off, indexing="ij")
+    pts = np.stack([dj.ravel() * resolution,
+                    di.ravel() * resolution], -1) @ rot_np
+    d = np.sqrt((pts ** 2).sum(-1)).reshape(N, N)
+    return np.asarray(_covn(spec, d, sill, nugget), np.float64)
+
+
 def _embedding_spectra(spec, rot_np, sill, nugget, SB, resolution):
     """Circulant-embedding spectra of the stationary window covariance.
 
-    Periodizes the covariance stamp C(offset) on an (N, N) torus with
-    N >= 2*SB (exact linear convolution for all window offsets), doubling N
-    until the embedding is (near-)nonnegative-definite or N hits 8*SB.
-    Returns (periodized stamp f32 (N, N) — also the on-device S_CC lookup
-    table; exact spectrum f32 (N, N) — used for the kriging-adjustment
-    convolution, sign-indifferent; sqrt of the clamped spectrum f32 —
-    used for the unconditional draw, rescaled so the marginal variance is
-    exactly C(0); N).
-    """
-    from ..ops.covariance import covariance_norm as _covn
+    Two torus sizes, each the smallest that satisfies its OWN requirement
+    (r4 surgery: both FFT pairs and the per-step RNG count scale with N²,
+    and the legacy always-double search overshot 72 -> 144 where 80 is
+    already nonnegative-definite for the bench Matérn):
 
-    N = 2 * SB
-    while True:
-        k = np.arange(N)
-        off = np.where(k <= N // 2, k, k - N)
-        di, dj = np.meshgrid(off, off, indexing="ij")
-        pts = np.stack([dj.ravel() * resolution,
-                        di.ravel() * resolution], -1) @ rot_np
-        d = np.sqrt((pts ** 2).sum(-1)).reshape(N, N)
-        stamp = np.asarray(_covn(spec, d, sill, nugget), np.float64)
+    - NE: draw grid — smallest even 2,3,5-smooth N >= 2*SB whose embedding
+      is (near-)nonnegative-definite, searched over the smooth ladder
+      instead of doubling; capped at 8*SB with clamping (as before).
+    - NA: adjustment grid — smallest even 2,3,5-smooth N >= 2*SB.  The
+      kriging-adjustment convolution is sign-indifferent; it only needs
+      exact linear convolution for window offsets, i.e. N >= 2*SB.
+
+    Returns (periodized stamp f32 (NE, NE) — also the on-device S_CC lookup
+    table; exact HALF spectrum f32 (NA, NA//2+1) for the adjustment conv;
+    HALF sqrt of the clamped spectrum f32 (NE, NE//2+1) for the real-noise
+    unconditional draw, rescaled so the marginal variance is exactly C(0);
+    NE; NA).
+    """
+    sizes = _fft_sizes(2 * SB, 8 * SB)
+    NA = sizes[0]
+    stamp = E = None
+    for N in sizes:
+        stamp = _periodized_stamp(spec, rot_np, sill, nugget, resolution, N)
         E = np.fft.fft2(stamp).real
-        if E.min() > -1e-6 * E.max() or N >= 8 * SB:
+        if E.min() > -1e-6 * E.max():
             break
-        N *= 2
+    NE = stamp.shape[0]
     Ec = np.maximum(E, 0.0)
     var = Ec.mean()  # realized marginal variance of the clamped draw
-    sqrtE = np.sqrt(Ec * (stamp[0, 0] / max(var, 1e-300)))
-    # the adjustment convolution uses the real half-spectrum (rfft layout)
-    E_half = E[:, : N // 2 + 1]
+    sqrtE_half = np.sqrt(Ec * (stamp[0, 0] / max(var, 1e-300)))[:, : NE // 2 + 1]
+    if NA == NE:
+        E_a = E
+    else:
+        stamp_a = _periodized_stamp(spec, rot_np, sill, nugget, resolution, NA)
+        E_a = np.fft.fft2(stamp_a).real
+    E_half = E_a[:, : NA // 2 + 1]
     return (stamp.astype(np.float32), E_half.astype(np.float32),
-            sqrtE.astype(np.float32), N)
+            sqrtE_half.astype(np.float32), NE, NA)
 
 
 @partial(jax.jit, static_argnames=("use_transform",))
@@ -295,8 +329,9 @@ def make_sgs_stages(static: SGSStatic):
     ``pre`` is an opaque tuple threaded between the stages; within one jit
     XLA fuses across the stage boundary, so the split costs nothing.
     """
-    H, W, SB, BMX, BMY, M, NE = (static.H, static.W, static.SB, static.BMX,
-                                 static.BMY, static.M, static.NE)
+    H, W, SB, BMX, BMY, M, NE, NA = (
+        static.H, static.W, static.SB, static.BMX, static.BMY, static.M,
+        static.NE, static.NA)
     # perf-surgery gates (profiling only; unset in production => no effect):
     # comma-separated list in MCMC_TPU_SGS_SURGERY, e.g. "nocg,noadj"
     import os as _os
@@ -304,7 +339,7 @@ def make_sgs_stages(static: SGSStatic):
         "MCMC_TPU_SGS_SURGERY", "").split(",")))
 
     def drop_u_nugget(noise):
-        return noise[2 * NE * NE:].reshape(SB, SB)
+        return noise[NE * NE:].reshape(SB, SB)
 
     def prepare(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
                 noise, drop_u):
@@ -373,17 +408,17 @@ def make_sgs_stages(static: SGSStatic):
         # spectrum clamping make the proposal approximately (not bitwise)
         # the conditional prior — the same approximation class as the
         # reference's octant-limited sequential SGS.
-        # draw directly in frequency space: for proper complex white noise
-        # zeta (unit-variance real+imag parts), Re(N * ifft2(sqrt(E) zeta))
-        # has covariance = stamp — one inverse FFT instead of an fft2+ifft2
-        # pair (Im would be a second independent field, unused)
+        # draw from REAL white noise e: z = irfft2(rfft2(e) * sqrt(E)) has
+        # covariance exactly = stamp (E real symmetric, so the half-spectrum
+        # multiply is valid) — NE² normals per step instead of the former
+        # complex-noise path's 2·NE² (whose imaginary output field was an
+        # unused second draw)
         if "nodraw" in _cut:  # surgery: white noise instead of the FFT draw
             z_u = noise[:SB * SB].reshape(SB, SB) + consts.mean_z
         else:
-            zeta = (noise[:NE * NE]
-                    + 1j * noise[NE * NE:2 * NE * NE]).reshape(NE, NE)
-            z_big = jnp.real(jnp.float32(NE)
-                             * jnp.fft.ifft2(consts.embed_sqrt * zeta))
+            e = noise[:NE * NE].reshape(NE, NE)
+            z_big = jnp.fft.irfft2(jnp.fft.rfft2(e) * consts.embed_sqrt,
+                                   s=(NE, NE))
             z_u = z_big[:SB, :SB] + consts.mean_z
         # distance (meters) from each window cell to the nearest block cell;
         # in-block data cells are at distance 0 and always selected first
@@ -459,14 +494,15 @@ def make_sgs_stages(static: SGSStatic):
         # spectrum (no wraparound: NE >= 2*SB covers all window offsets)
         w_full = jnp.zeros((SB * SB,), jnp.float32).at[top_idx].add(
             jnp.where(sel, w_p, 0.0))
-        w_pad = jnp.zeros((NE, NE), jnp.float32).at[:SB, :SB].set(
+        w_pad = jnp.zeros((NA, NA), jnp.float32).at[:SB, :SB].set(
             w_full.reshape(SB, SB))
-        # real input + real symmetric spectrum -> half-spectrum FFT pair
+        # real input + real symmetric spectrum -> half-spectrum FFT pair on
+        # the SMALLER adjustment grid (NA >= 2*SB suffices for exactness)
         if "noadj" in _cut:  # surgery: skip the adjustment convolution
             adj = jnp.float32(0.0) * w_pad[:SB, :SB]
         else:
             adj = jnp.fft.irfft2(jnp.fft.rfft2(w_pad) * consts.embed_spec,
-                                 s=(NE, NE))[:SB, :SB]
+                                 s=(NA, NA))[:SB, :SB]
         z_draw = z_u + adj
         if static.has_nugget:
             z_draw = z_draw + jnp.sqrt(consts.nugget) * drop_u_nugget(noise)
@@ -573,8 +609,8 @@ def make_sgs_stages(static: SGSStatic):
 def make_sgs_kernel(static: SGSStatic):
     """MH update core with injectable randomness:
     (consts, state, cx, cy, bsx, bsy,
-    noise (2*NE*NE [+SB*SB if nugget],) — real then imaginary parts of
-    the frequency-domain white noise, then optional nugget draws —
+    noise (NE*NE [+SB*SB if nugget],) — the real white-noise field of the
+    circulant-embedding draw, then optional nugget draws —
     drop_u (SB,SB), u, key).  Composition of the two stages around the
     per-chain XLA solve (make_sgs_stages)."""
     prepare, solve_one, finalize = make_sgs_stages(static)
@@ -591,7 +627,7 @@ def make_sgs_kernel(static: SGSStatic):
 
 def _sample_proposal(static: SGSStatic, consts: SGSConsts, key):
     """Draw one iteration's randomness (shared by both step builders)."""
-    NE2 = 2 * static.NE * static.NE  # real+imag frequency-domain noise
+    NE2 = static.NE * static.NE  # real white-noise field of the draw
     n_noise = NE2 + static.SB * static.SB if static.has_nugget else NE2
     key, k_c, k_bx, k_by, k_noise, k_drop, k_u = jax.random.split(key, 7)
     cidx = jax.random.randint(k_c, (), 0, static.n_region)
@@ -982,7 +1018,7 @@ class ChainSGS:
         rot_np = np.asarray(make_rotation_matrix(
             self.vario.azimuth, self.vario.major_range,
             self.vario.minor_range), np.float64)
-        cov_stamp, embed_spec, embed_sqrt, NE = _embedding_spectra(
+        cov_stamp, embed_spec, embed_sqrt, NE, NA = _embedding_spectra(
             spec, rot_np, self.vario.sill, self.vario.nugget, SB,
             self.resolution)
         # analytic S_CC mixture (ops/covariance.fit_cov_mixture): fit the
@@ -1017,7 +1053,7 @@ class ChainSGS:
             spec=spec, use_transform=self.do_transform,
             detrend=self.detrend_map, dropout=dropout,
             has_nugget=self.vario.nugget > 0,
-            cg_iters=cg_iters, NE=NE,
+            cg_iters=cg_iters, NE=NE, NA=NA,
             Mg=int(mix_ag.shape[0]), Me=int(mix_ae.shape[0]))
         stacked = np.stack([
             self.surf, self.velx, self.vely, self.dhdt, self.smb,

@@ -237,14 +237,22 @@ class TestGaussianVariogramRegimes:
         n_iter = 200
         chain, twin = _build_pair(p, sigma_mc=5.6, radius=3834.0,
                                   neighbors=21, blocks=(6, 11))
-        out = chain.run(n_iter=n_iter, seed=5)
+        # the per-run loss-decay statistic has a wide seed spread (measured
+        # 0.08-0.18 across 8 seeds on both RNG-stream variants of the draw),
+        # so average the chain over 4 run seeds instead of trusting one
+        # stream's luck — tightens the comparison rather than widening bands
+        accs, decs = [], []
+        for run_seed in (5, 6, 7, 8):
+            out = chain.run(n_iter=n_iter, seed=run_seed)
+            accs.append(out["steps"][1:].mean())
+            decs.append(1 - out["loss"][-1] / out["loss"][0])
         _, twin_losses, twin_steps = twin.run(p["initial_bed"], n_iter,
                                               p["xx"], p["yy"])
-        acc_ours = out["steps"][1:].mean()
+        acc_ours = float(np.mean(accs))
         acc_twin = twin_steps[1:].mean()
         band = 3 * np.sqrt(max(acc_twin * (1 - acc_twin), 0.01) / n_iter) + 0.10
         assert abs(acc_ours - acc_twin) < band, (acc_ours, acc_twin)
-        dec_ours = 1 - out["loss"][-1] / out["loss"][0]
+        dec_ours = float(np.mean(decs))
         dec_twin = 1 - twin_losses[-1] / twin_losses[0]
         assert dec_ours == pytest.approx(dec_twin, abs=0.05, rel=0.5), (
             dec_ours, dec_twin)
