@@ -316,6 +316,62 @@ def sgs_init_state(bed_detrended, key, consts: SGSConsts, z0=None,
                     accepted=jnp.int32(0))
 
 
+def k_nearest_packed(candidate, rd, cd, K):
+    """Exact K-nearest conditioning selection WITHOUT a sort.
+
+    Selects the same set as ``lax.top_k(where(candidate, -euclid, -inf), K)``
+    — the K candidate cells nearest the block, ties broken by lowest linear
+    index — but with VPU-only math: squared cell distances are INTEGERS
+    d2 = rd² + cd² ≤ 2·SB², so the K-th smallest distance is found by a
+    ~12-step integer threshold bisection (masked counts), and the selected
+    cells are packed into K slots by cumulative-rank arithmetic.  A vmapped
+    ``lax.top_k`` over the SB² scores measured 1.9 ms of the 11.3 ms
+    512-chain step-batch (NOTES_ROUND4 §6); this path is reductions and
+    elementwise compares only.
+
+    Equivalence to the euclid ordering: sqrt is strictly monotone and
+    adjacent representable integers below 2·SB² stay distinct through
+    float32 sqrt (relative gaps ~1/(2·d2) >> eps), so d2 order == euclid
+    order, including ties.  The packed ORDER differs from top_k's
+    (linear-index vs distance order); downstream use — masked solve, rhs
+    gather, scatter-add — is permutation-invariant.
+
+    Args: candidate (SB,SB) bool; rd, cd (SB,) int32 row/col distances to
+    the block; K static.  Returns (idx (K,) int32 into the raveled window,
+    sel (K,) bool).  If fewer than K candidates exist, the tail of sel is
+    False (idx there is clipped junk, masked downstream like top_k's -inf
+    slots were).
+    """
+    SB = rd.shape[0]
+    big = jnp.int32(2 * SB * SB)  # > max real d2 = 2·(SB-1)²
+    d2 = rd[:, None] * rd[:, None] + cd[None, :] * cd[None, :]
+    d2r = jnp.where(candidate, d2, big).ravel()
+    cand = candidate.ravel()
+    # minimal T with count(d2r <= T) >= K; count(<= big) = SB² >= K always
+    lo = jnp.int32(0)
+    hi = big
+    for _ in range(int(2 * SB * SB).bit_length()):
+        mid = (lo + hi) // 2
+        ge = jnp.sum((d2r <= mid).astype(jnp.int32)) >= K
+        lo = jnp.where(ge, lo, mid + 1)
+        hi = jnp.where(ge, mid, hi)
+    T = hi
+    strict = d2r < T                     # sentinels excluded: big < T never
+    ties = cand & (d2r == T)             # cand-guard excludes T==big sentinels
+    n_strict = jnp.sum(strict.astype(jnp.int32))
+    take_tie = ties & (jnp.cumsum(ties.astype(jnp.int32)) <= K - n_strict)
+    valid = strict | take_tie
+    rank = jnp.cumsum(valid.astype(jnp.int32))   # inclusive
+    n_total = rank[-1]
+    # index of the (j+1)-th valid cell = #{i : rank_i <= j} (rank increments
+    # exactly at valid cells); for j >= n_total this counts the whole array
+    js = jnp.arange(K, dtype=jnp.int32)
+    pos = jnp.sum((rank[None, :] <= js[:, None]).astype(jnp.int32), axis=1)
+    idx = jnp.minimum(pos, SB * SB - 1)
+    sel = js < n_total
+    return idx, sel
+
+
 def make_sgs_stages(static: SGSStatic):
     """The MH update split into two per-chain stages around the packed
     conditioning solve, so a BATCHED step can run the solve once over the
@@ -426,15 +482,19 @@ def make_sgs_stages(static: SGSStatic):
                            + jnp.square(cd[None, :].astype(jnp.float32)))
                   * consts.resolution)
         candidate = cond_mask & (euclid <= consts.search_radius)
-        score = jnp.where(candidate, -euclid, -jnp.inf).ravel()
         if "notopk" in _cut:  # surgery: fixed conditioning indices
             top_idx = jnp.arange(static.K)
-            top_val = jnp.zeros((static.K,), jnp.float32)
+            sel = jnp.ones((static.K,), bool)
         elif "approxtopk" in _cut:  # surgery: TPU approximate top-k
+            score = jnp.where(candidate, -euclid, -jnp.inf).ravel()
             top_val, top_idx = jax.lax.approx_max_k(score, static.K)
-        else:
+            sel = jnp.isfinite(top_val)
+        elif "sorttopk" in _cut:  # surgery: the pre-r4 sort-based top_k
+            score = jnp.where(candidate, -euclid, -jnp.inf).ravel()
             top_val, top_idx = jax.lax.top_k(score, static.K)
-        sel = jnp.isfinite(top_val)
+            sel = jnp.isfinite(top_val)
+        else:  # sort-free exact K-nearest (same set as top_k; see docstring)
+            top_idx, sel = k_nearest_packed(candidate, rd, cd, static.K)
         m_sel = sel.astype(jnp.float32)
         dz = jnp.where(cond_mask, z_w - z_u, 0.0).ravel()
         rhs_p = jnp.where(sel, dz[top_idx], 0.0)

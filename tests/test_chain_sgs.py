@@ -360,3 +360,71 @@ def test_sgs_set_random_generator_stream():
     assert np.isfinite(o1["loss"]).all() and np.isfinite(o2["loss"]).all()
     assert not (np.array_equal(o1["steps"], o2["steps"])
                 and np.allclose(o1["loss"], o2["loss"]))
+
+
+class TestKNearestPacked:
+    """The sort-free K-nearest selection must pick the SAME SET as the
+    sort-based lax.top_k over -euclid it replaced (NOTES_ROUND4 §6:
+    vmapped top_k was 17% of the SGS step-batch)."""
+
+    @staticmethod
+    def _topk_reference(candidate, rd, cd, K):
+        import jax
+        import jax.numpy as jnp
+        euclid = jnp.sqrt(jnp.square(rd[:, None].astype(jnp.float32))
+                          + jnp.square(cd[None, :].astype(jnp.float32)))
+        score = jnp.where(candidate, -euclid, -jnp.inf).ravel()
+        top_val, top_idx = jax.lax.top_k(score, K)
+        sel = jnp.isfinite(top_val)
+        return np.asarray(top_idx), np.asarray(sel)
+
+    def test_matches_topk_set_randomized(self):
+        import jax.numpy as jnp
+
+        from mcmc_tpu.models.chain_sgs import k_nearest_packed
+
+        rng = np.random.default_rng(0)
+        SB, K = 24, 16
+        for trial in range(40):
+            # block geometry like prepare(): distances to a random
+            # sub-rectangle, clamped at 0 inside it
+            a0, a1 = np.sort(rng.integers(0, SB, 2))
+            b0, b1 = np.sort(rng.integers(0, SB, 2))
+            r = np.arange(SB)
+            rd = np.maximum(np.maximum(a0 - r, r - max(a1, a0)), 0)
+            cd = np.maximum(np.maximum(b0 - r, r - max(b1, b0)), 0)
+            # random candidate mask incl. sparse (< K) and empty cases
+            p = [0.5, 0.05, 0.0][trial % 3]
+            candidate = rng.random((SB, SB)) < p
+            idx, sel = k_nearest_packed(
+                jnp.asarray(candidate), jnp.asarray(rd, jnp.int32),
+                jnp.asarray(cd, jnp.int32), K)
+            idx, sel = np.asarray(idx), np.asarray(sel)
+            ref_idx, ref_sel = self._topk_reference(
+                jnp.asarray(candidate), jnp.asarray(rd, jnp.int32),
+                jnp.asarray(cd, jnp.int32), K)
+            assert sel.sum() == ref_sel.sum(), trial
+            assert set(idx[sel]) == set(ref_idx[ref_sel]), trial
+            # packed slots are index-sorted and unique
+            assert np.all(np.diff(idx[sel]) > 0), trial
+
+    def test_gate_sorttopk_same_chain_statistics(self, monkeypatch):
+        """The production chain run must be statistically indistinguishable
+        under either selection path (same set => same proposal law; only
+        CG float reassociation differs)."""
+        p = make_synthetic_problem(H=48, W=48)
+
+        def run_with(gate):
+            monkeypatch.setenv("MCMC_TPU_SGS_SURGERY", gate)
+            try:
+                c = build_sgs_chain(p)
+                return c.run(60, seed=3, progress_bar=False)
+            finally:
+                monkeypatch.delenv("MCMC_TPU_SGS_SURGERY")
+
+        o_new = run_with("")  # default: k_nearest_packed
+        o_old = run_with("sorttopk")
+        # same selected set -> same proposals up to solver reassociation:
+        # trajectories match to float tolerance over a short run
+        np.testing.assert_allclose(o_new["loss"], o_old["loss"],
+                                   rtol=2e-4, atol=2e-2)
