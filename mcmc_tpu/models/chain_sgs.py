@@ -1104,9 +1104,18 @@ class ChainSGS:
         sample_ij = self._sample_ij()
         dropout = bool(self.sgs_params.rand_dropout_on
                        and self.sgs_params.dropout_rate > 0)
-        # K-dim CG converges in <= K iterations in exact arithmetic; a small
-        # cushion over K covers f32 round-off unless the user overrode it
-        cg_iters = int(getattr(self, "cg_iters", 0)) or min(64, K + 16)
+        # Covariance-aware CG budget (override with chain.cg_iters).  The
+        # effective spectrum of (M S_cc M + (I-M) + eps I) depends on the
+        # covariance smoothness; measured f32 stagnation floors on captured
+        # production systems (K=48, with/without anisotropy, NOTES_ROUND4
+        # §6 lever b): exponential reaches its floor (~2e-6 rel-err) by 32
+        # iters, spherical by 48, while smooth models (gaussian / matern
+        # s>0.5) are still converging at 64 — all floors sit ~1000x below
+        # the eps=1e-3*sill diagonal jitter's own effect on the weights.
+        rough = (spec.vtype == "exponential"
+                 or (spec.vtype == "matern" and (spec.s or 0.5) <= 0.5))
+        budget = 32 if rough else (48 if spec.vtype == "spherical" else 64)
+        cg_iters = int(getattr(self, "cg_iters", 0)) or min(budget, K + 16)
         static = SGSStatic(
             H=H, W=W, SB=SB, BMX=BMX, BMY=BMY, M=M, K=K,
             n_region=int(region.shape[0]), P=int(sample_ij.shape[0]),

@@ -362,6 +362,41 @@ def test_sgs_set_random_generator_stream():
                 and np.allclose(o1["loss"], o2["loss"]))
 
 
+class TestCGBudget:
+    """The CG iteration budget follows the covariance smoothness: measured
+    f32 stagnation floors on captured production systems (NOTES_ROUND4 §6
+    lever b) — exponential converges by 32 iters, spherical by 48, smooth
+    models need the full 64."""
+
+    @pytest.mark.parametrize("vario,kw,want", [
+        (("Exponential", 5e3, 1.0, 0.0), {}, 32),
+        (("Spherical", 8e3, 1.0, 0.0), {}, 48),
+        (("Gaussian", 8e3, 1.0, 0.0), {}, 64),
+        (("Matern", 10e3, 1.0, 0.0), {"vario_smoothness": 1.2}, 64),
+        (("Matern", 10e3, 1.0, 0.0), {"vario_smoothness": 0.5}, 32),
+    ])
+    def test_default_budget(self, vario, kw, want):
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_sgs_chain(p)
+        c.set_variogram(*vario, **kw)
+        static, _ = c.build()
+        assert static.cg_iters == want
+
+    def test_user_override_wins(self):
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_sgs_chain(p)
+        c.cg_iters = 20
+        static, _ = c.build()
+        assert static.cg_iters == 20
+
+    def test_budget_capped_by_K(self):
+        p = make_synthetic_problem(H=48, W=48)
+        c = build_sgs_chain(p)
+        c.set_sgs_param(12, 30e3)  # K=12 -> K+16 < 32
+        static, _ = c.build()
+        assert static.cg_iters == 28
+
+
 class TestKNearestPacked:
     """The sort-free K-nearest selection must pick the SAME SET as the
     sort-based lax.top_k over -euclid it replaced (NOTES_ROUND4 §6:
