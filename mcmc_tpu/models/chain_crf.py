@@ -354,8 +354,8 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False,
     tests/test_window_kernel.py) but the window gather/compute/scatter phase
     runs as one pallas_call with per-chain DMAs instead of XLA
     gather/scatter — the dominant cost of the vmapped path on TPU.
-    Batches larger than ``max_chains`` (default FUSED_MAX_CHAINS, the
-    measured single-launch compile ceiling) raise at trace time: chunking
+    Batches larger than ``max_chains`` (default FUSED_SINGLE_LAUNCH_MAX,
+    the transposed-SMEM-layout launch bound) raise at trace time: chunking
     must happen OUTSIDE the scan carry (parallel.sampler.scan_chunked) —
     slicing/stacking the full multi-GB state every step costs ~15 ms at
     512 chains (measured; NOTES_ROUND3.md).
@@ -549,14 +549,15 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False,
         }
         return new_states, trace
 
-    max_chains = (FUSED_MAX_CHAINS if max_chains is None else int(max_chains))
+    max_chains = (FUSED_SINGLE_LAUNCH_MAX if max_chains is None
+                  else int(max_chains))
 
     def checked_step(consts: CRFConsts, states: ChainState):
         C = states.fields.shape[0]
         if C > max_chains:
             raise ValueError(
                 f"{C} chains exceeds the fused kernel's single-launch "
-                f"compile ceiling ({max_chains}); run through "
+                f"bound ({max_chains}); run through "
                 f"parallel.sampler.run_chains, which keeps the batch "
                 f"chunked across the scan (scan_chunked)")
         return step(consts, states)
@@ -564,26 +565,43 @@ def make_batched_step_fused(static: CRFStatic, interpret: bool = False,
     return checked_step
 
 
-# largest chain batch the fused window kernel compiles as ONE launch on the
-# current TPU toolchain (384 ok; 448/512/1024 reproducibly crash the
-# compiler — NOTES_ROUND3.md sweep B); bigger batches are chunked
+# PREFERRED per-launch chain batch: measured dispatch sweet spot, NOT a
+# compile ceiling.  History: launches >=448 chains crashed the toolchain
+# through round 3; the root cause (found 2026-08-19, tools/mosaic_repro.py)
+# was an SMEM out-of-memory — the toolchain pads the MINOR dim of every
+# SMEM array to 128 lanes, so the five (N, k) prefetch/output arrays cost
+# 5*N*512 B and blow the 1 MiB budget exactly between N=384 (0.94 MiB) and
+# N=448 (1.09 MiB).  With the transposed (k, N) layouts the kernel compiles
+# and runs at >=1536 chains single-launch — but chunked 2x384 still measures
+# ~2% faster than single-launch at 768 (A/B 2026-08-19: 362.8k vs 355.1k
+# chain-it/s), so 384 remains the preferred chunk granularity.
 FUSED_MAX_CHAINS = 384
+
+# hard single-launch bound from the transposed layout's own SMEM footprint:
+# 20 scalar rows x N lanes x 4 B <= ~1 MiB at N~13k; tested to 1536 on
+# hardware, capped conservatively below the arithmetic limit
+FUSED_SINGLE_LAUNCH_MAX = 8192
 
 
 def fused_chunk_count(n_chains: int, max_chains: int = None) -> int:
-    """Number of equal kernel launches needed to cover ``n_chains``
-    (1 = single launch; 0 = no divisor in 2..16 yields chunks within the
-    per-launch limit, caller must use the XLA path — happens for prime
-    chain counts above the limit and for any count above 16x the limit)."""
+    """Number of equal kernel launches used to cover ``n_chains``.
+
+    1 = single launch; k in 2..16 = the smallest equal split with chunks
+    within the preferred per-launch size (measured faster than one big
+    launch); 0 = not coverable (only above FUSED_SINGLE_LAUNCH_MAX with no
+    equal split — the caller must use the XLA path).  Counts with no equal
+    split that still fit a single launch (e.g. primes like 389) run as ONE
+    launch since the transposed-SMEM fix removed the old >=448 compile
+    crash."""
     limit = FUSED_MAX_CHAINS if max_chains is None else int(max_chains)
     if n_chains <= limit:
         return 1
-    # at most 16 sequential launches: beyond that the per-launch dispatch
-    # overhead dominates and the XLA path is the honest fallback
+    # prefer <=16 equal launches at the sweet-spot size: beyond 16 the
+    # per-launch dispatch overhead dominates
     for k in range(2, 17):
         if n_chains % k == 0 and n_chains // k <= limit:
             return k
-    return 0
+    return 1 if n_chains <= FUSED_SINGLE_LAUNCH_MAX else 0
 
 
 def chain_loss_mc(massConvResidual, mc_region_mask, sigma_mc) -> float:

@@ -77,6 +77,12 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
     geom rows: [sx, sy, shift_x, shift_y, bxmin, bxmax, bymin, bymax,
     h, w, size_idx] with (sx, sy) ALIGNED window starts.  fvals rows:
     [u, loss_prev(total), sigma_mc, resolution, sigma_data, scale].
+    Internally geom/fvals/outputs are held TRANSPOSED — (11, N), (6, N),
+    (1, N) — because the toolchain pads the MINOR dim of every SMEM array
+    to 128 lanes: (N, k) layouts cost N*128*4 B each, which blows the 1 MiB
+    SMEM budget at N>=448 (the round-3 'Mosaic crash' was this OOM —
+    tools/mosaic_repro.py stages 3 vs 5, compiler error in NOTES_ROUND4).
+    Transposed, SMEM cost is ~(k/128)x smaller and N=2048 compiles.
     fields planes: bed, mc_res, resampled; consts planes (packed, see
     CRFConsts.stacked): surf, velx, vely, forcing (dhdt-smb), maskpack
     (update + 2*mc), crf_weight [, cond_bed, data_loss_mask].  Only the
@@ -162,8 +168,8 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         nxt = jax.lax.rem(i + 1, 2)
 
         def window_dmas(j, s):
-            sx_j = pl.multiple_of(geom_ref[j, 0], 8) if SX != H else 0
-            sy_j = pl.multiple_of(geom_ref[j, 1], 128) if SY != W else 0
+            sx_j = pl.multiple_of(geom_ref[0, j], 8) if SX != H else 0
+            sy_j = pl.multiple_of(geom_ref[1, j], 128) if SY != W else 0
             cdma = pltpu.make_async_copy(
                 cons_hbm.at[pl.ds(0, NP), pl.ds(sx_j, SX), pl.ds(sy_j, SY)],
                 cons_vmem.at[s], sems.at[s, 0])
@@ -172,7 +178,7 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
                 st_vmem.at[s], sems.at[s, 1])
             # edge_hbm lanes are padded to 128 (DMA slice tiling); kernel
             # uses the leading (B, B) part
-            edma = pltpu.make_async_copy(edge_hbm.at[geom_ref[j, 10]],
+            edma = pltpu.make_async_copy(edge_hbm.at[geom_ref[10, j]],
                                          edge_vmem.at[s], sems.at[s, 2])
             return cdma, sdma, edma
 
@@ -189,13 +195,13 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         # alignment facts the host-side geometry guarantees (multiple_of
         # lets Mosaic prove the DMA slice starts are tile-aligned; full-dim
         # windows always start at literal 0)
-        sx = pl.multiple_of(geom_ref[i, 0], 8) if SX != H else 0
-        sy = pl.multiple_of(geom_ref[i, 1], 128) if SY != W else 0
-        shift_x = geom_ref[i, 2]
-        shift_y = geom_ref[i, 3]
-        bh = geom_ref[i, 8]
-        bw = geom_ref[i, 9]
-        scale = fvals_ref[i, 5]
+        sx = pl.multiple_of(geom_ref[0, i], 8) if SX != H else 0
+        sy = pl.multiple_of(geom_ref[1, i], 128) if SY != W else 0
+        shift_x = geom_ref[2, i]
+        shift_y = geom_ref[3, i]
+        bh = geom_ref[8, i]
+        bw = geom_ref[9, i]
+        scale = fvals_ref[5, i]
         # (the block-bound and MH scalars are read by `tail` itself)
 
         cdma, sdma, edma = window_dmas(i, slot)
@@ -226,15 +232,15 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         """Shared MH tail: perturbation, residual, loss delta, accept,
         conditional window writeback.  ``cplane(k)`` returns the k-th consts
         plane window (from DMA'd scratch or VMEM-resident consts)."""
-        bxmin = geom_ref[i, 4]
-        bxmax = geom_ref[i, 5]
-        bymin = geom_ref[i, 6]
-        bymax = geom_ref[i, 7]
-        u = fvals_ref[i, 0]
-        loss_prev = fvals_ref[i, 1]
-        sigma = fvals_ref[i, 2]
-        resolution = fvals_ref[i, 3]
-        sigma_data = fvals_ref[i, 4]
+        bxmin = geom_ref[4, i]
+        bxmax = geom_ref[5, i]
+        bymin = geom_ref[6, i]
+        bymax = geom_ref[7, i]
+        u = fvals_ref[0, i]
+        loss_prev = fvals_ref[1, i]
+        sigma = fvals_ref[2, i]
+        resolution = fvals_ref[3, i]
+        sigma_data = fvals_ref[4, i]
 
         surf_w = cplane(0)
         velx_w = cplane(1)
@@ -282,9 +288,9 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         rate = jnp.minimum(1.0, jnp.exp(loss_prev - loss_next))
         accept = u <= rate
 
-        acc_ref[i, 0] = (accept & ~viol).astype(jnp.float32)
-        delta_ref[i, 0] = jnp.where(accept & ~viol, delta, 0.0)
-        ddata_ref[i, 0] = jnp.where(accept & ~viol, delta_data, 0.0)
+        acc_ref[0, i] = (accept & ~viol).astype(jnp.float32)
+        delta_ref[0, i] = jnp.where(accept & ~viol, delta, 0.0)
+        ddata_ref[0, i] = jnp.where(accept & ~viol, delta_data, 0.0)
 
         @pl.when(accept & ~viol)
         def _():
@@ -314,8 +320,8 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         nxt = jax.lax.rem(i + 1, 2)
 
         def state_dma(j, s):
-            sx_j = pl.multiple_of(geom_ref[j, 0], 8) if SX != H else 0
-            sy_j = pl.multiple_of(geom_ref[j, 1], 128) if SY != W else 0
+            sx_j = pl.multiple_of(geom_ref[0, j], 8) if SX != H else 0
+            sy_j = pl.multiple_of(geom_ref[1, j], 128) if SY != W else 0
             return pltpu.make_async_copy(
                 fields_out.at[j, :, pl.ds(sx_j, SX), pl.ds(sy_j, SY)],
                 st_vmem.at[s], sems.at[s, 0])
@@ -328,19 +334,19 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
         def _():
             state_dma(i + 1, nxt).start()
 
-        sx = pl.multiple_of(geom_ref[i, 0], 8) if SX != H else 0
-        sy = pl.multiple_of(geom_ref[i, 1], 128) if SY != W else 0
-        shift_x = geom_ref[i, 2]
-        shift_y = geom_ref[i, 3]
-        bh = geom_ref[i, 8]
-        bw = geom_ref[i, 9]
-        scale = fvals_ref[i, 5]
+        sx = pl.multiple_of(geom_ref[0, i], 8) if SX != H else 0
+        sy = pl.multiple_of(geom_ref[1, i], 128) if SY != W else 0
+        shift_x = geom_ref[2, i]
+        shift_y = geom_ref[3, i]
+        bh = geom_ref[8, i]
+        bw = geom_ref[9, i]
+        scale = fvals_ref[5, i]
 
         if prefinished:
             f = fraw_ref[0]
         else:
             f = finish_proposal(fraw_ref[0], bh, bw, scale,
-                                edge_vm[geom_ref[i, 10]][:, :B])
+                                edge_vm[geom_ref[10, i]][:, :B])
         canvas = place_canvas(f, shift_x, shift_y)
 
         state_dma(i, slot).wait()
@@ -415,9 +421,9 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),     # fields (aliased)
-                pl.BlockSpec(memory_space=pltpu.SMEM),    # accept (N,1)
-                pl.BlockSpec(memory_space=pltpu.SMEM),    # delta (N,1)
-                pl.BlockSpec(memory_space=pltpu.SMEM),    # delta_data (N,1)
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # accept (1,N)
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # delta (1,N)
+                pl.BlockSpec(memory_space=pltpu.SMEM),    # delta_data (1,N)
             ],
             scratch_shapes=scratch_shapes,
         )
@@ -426,15 +432,15 @@ def make_fused_window_update(H: int, W: int, B: int, interpret: bool = False,
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct(fields.shape, fields.dtype),
-                jax.ShapeDtypeStruct((N, 1), jnp.float32),
-                jax.ShapeDtypeStruct((N, 1), jnp.float32),
-                jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, N), jnp.float32),
+                jax.ShapeDtypeStruct((1, N), jnp.float32),
+                jax.ShapeDtypeStruct((1, N), jnp.float32),
             ],
             input_output_aliases={3: 0},  # fields (4th operand incl. the 2
             # scalar-prefetch args) aliases the first output
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(geom, fvals, consts_in, fields, fraw, edge_masks)
-        return fields_out, acc[:, 0], delta[:, 0], ddata[:, 0]
+        )(geom.T, fvals.T, consts_in, fields, fraw, edge_masks)
+        return fields_out, acc[0], delta[0], ddata[0]
 
     return fn

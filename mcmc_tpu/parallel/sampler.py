@@ -55,18 +55,20 @@ def run_chains(static, consts, states, n_steps: int, save_beds: bool = False,
         # TPU (vmapped XLA CG elsewhere) — semantics == vmap(make_sgs_step)
         batched = make_sgs_step_batched(static)
     elif impl == "fused":
-        from ..models.chain_crf import (FUSED_MAX_CHAINS, fused_chunk_count,
+        from ..models.chain_crf import (FUSED_MAX_CHAINS,
+                                        FUSED_SINGLE_LAUNCH_MAX,
+                                        fused_chunk_count,
                                         make_batched_step_fused)
 
         n_chains = jax.tree.leaves(states)[0].shape[0]
         k = fused_chunk_count(n_chains)
         if k == 0:
             raise ValueError(
-                f"{n_chains} chains has no equal split into <=16 "
-                f"fused-kernel launches of <={FUSED_MAX_CHAINS} chains; "
-                f"use a chain count divisible into such chunks (e.g. a "
-                f"multiple of {FUSED_MAX_CHAINS} up to "
-                f"{16 * FUSED_MAX_CHAINS}) or impl='xla'")
+                f"{n_chains} chains exceeds the fused kernel's "
+                f"single-launch bound ({FUSED_SINGLE_LAUNCH_MAX}) with no "
+                f"equal split into <=16 launches of <={FUSED_MAX_CHAINS} "
+                f"chains; use a chain count divisible into such chunks "
+                f"(e.g. a multiple of {FUSED_MAX_CHAINS}) or impl='xla'")
         batched = make_batched_step_fused(static)
         if k > 1:
             return scan_chunked(batched, consts, states, k, n_steps,
@@ -279,9 +281,9 @@ class MultiChainSampler:
                         and mesh is None)
             geom_ok = eligible and fused_path_supported(
                 self.static.H, self.static.W, self.static.rf.B)
-            # batches above the kernel's single-launch compile ceiling run
-            # chunked; counts with no equal split into <=16 chunks within
-            # the ceiling can't chunk
+            # batches above the preferred launch size run chunked (or as
+            # one big launch when no equal split exists); only counts above
+            # the single-launch bound with no equal split can't run fused
             chunk_ok = fused_chunk_count(self.n_chains) > 0
             impl = "fused" if eligible and geom_ok and chunk_ok else "xla"
             if eligible and not chunk_ok:
@@ -290,12 +292,12 @@ class MultiChainSampler:
                 from ..models.chain_crf import FUSED_MAX_CHAINS
 
                 warnings.warn(
-                    f"{self.n_chains} chains has no equal split into <=16 "
-                    f"fused-kernel launches of <={FUSED_MAX_CHAINS} chains; "
-                    "falling back to the ~6x slower vmapped XLA step. Use "
-                    f"a chain count divisible into such chunks (e.g. a "
-                    f"multiple of {FUSED_MAX_CHAINS} up to "
-                    f"{16 * FUSED_MAX_CHAINS}).", stacklevel=2)
+                    f"{self.n_chains} chains exceeds the fused kernel's "
+                    "single-launch bound with no equal split into <=16 "
+                    f"launches of <={FUSED_MAX_CHAINS} chains; falling "
+                    "back to the ~6x slower vmapped XLA step. Use a chain "
+                    f"count divisible into <={FUSED_MAX_CHAINS}-chain "
+                    "chunks.", stacklevel=2)
             elif eligible and not geom_ok:
                 import warnings
 

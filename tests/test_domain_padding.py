@@ -277,17 +277,22 @@ class TestAutoPadGating:
         assert s.impl == "fused"
 
     def test_unchunkable_chain_count_not_padded(self, monkeypatch):
-        """A chain count the fused path can't chunk gains nothing from
-        padding — the grid must stay unpadded and the XLA fallback warn
-        about the chain count, not the geometry."""
+        """A chain count the fused path can't cover — above the
+        single-launch bound with no equal split — gains nothing from
+        padding: the grid must stay unpadded and the XLA fallback warn
+        about the chain count, not the geometry.  (Counts like 389 that
+        merely lack an equal split now run as ONE fused launch since the
+        transposed-SMEM fix removed the old >=448 compile crash.)"""
+        from mcmc_tpu.models.chain_crf import FUSED_SINGLE_LAUNCH_MAX
         from mcmc_tpu.parallel import sampler as sampler_mod
 
         p = make_synthetic_problem(H=H, W=W)
         chain = build_small_chain(p)
         monkeypatch.setattr(sampler_mod.jax, "devices",
                             lambda *a: [FakeDev()])
+        n_bad = FUSED_SINGLE_LAUNCH_MAX + 17  # 8209, prime
         with pytest.warns(UserWarning, match="no equal split"):
-            s = sampler_mod.MultiChainSampler(chain, n_chains=389,
+            s = sampler_mod.MultiChainSampler(chain, n_chains=n_bad,
                                               use_mesh=False)
         assert not s.padded and s.impl == "xla"
         assert (s.static.H, s.static.W) == (H, W)

@@ -97,7 +97,7 @@ class TestFusedKernel:
         import pytest as _pytest
 
         step = make_batched_step_fused(static, interpret=True, max_chains=2)
-        with _pytest.raises(ValueError, match="compile ceiling"):
+        with _pytest.raises(ValueError, match="single-launch bound"):
             step(consts, states)  # 4 chains > 2
 
     def test_chunk_count_selection(self):
@@ -108,7 +108,13 @@ class TestFusedKernel:
         assert fused_chunk_count(512) == 2
         assert fused_chunk_count(1024) == 4  # 512 halves again: 4 x 256
         assert fused_chunk_count(768) == 2
-        assert fused_chunk_count(389) == 0  # prime above the ceiling
+        # prime above the preferred size: now a single launch (the old
+        # >=448 'compile crash' was an SMEM layout OOM, fixed by the
+        # transposed (k, N) SMEM layouts — tools/mosaic_repro.py stage 5)
+        assert fused_chunk_count(389) == 1
+        assert fused_chunk_count(1536) == 4
+        # no equal split above the single-launch bound -> XLA fallback
+        assert fused_chunk_count(8209) == 0  # prime > 8192
 
     def test_scan_runs(self, setup):
         """The fused step works under lax.scan (the production shape)."""

@@ -130,7 +130,9 @@ def stage4(N):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((N, H, W), jnp.float32)]
         + [jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 3,
-        input_output_aliases={3: 0},
+        # alias indexing EXCLUDES the scalar-prefetch operands: inputs here
+        # are (geom, fvals, fields) -> fields is index 2
+        input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
     geom = jnp.zeros((N, 11), jnp.int32)
@@ -139,7 +141,41 @@ def stage4(N):
     return jax.jit(lambda: f(geom, fvals, fields)).lower().compile()
 
 
-STAGES = [stage0, stage1, stage2, stage3, stage4]
+def stage5(N):
+    """Stage 3 with TRANSPOSED SMEM layouts — the fix for the stage-3 OOM.
+
+    Root cause (measured 2026-08-19, full compiler error in NOTES_ROUND4):
+    the toolchain pads the MINOR dim of every SMEM array to 128 lanes, so a
+    (N, 11) i32 prefetch operand allocates N*128*4 B; at N=448 the five
+    (N, *) arrays of stage 3 need 1.09 MiB of the 1.00 MiB SMEM budget
+    (384 -> 0.94 MiB, which is why 384 compiled).  Storing them transposed
+    — (11, N) operands, (1, N) outputs — the padding applies to N itself
+    (multiple of 128) and SMEM usage drops ~10-100x.
+    """
+    def kern(geom, fvals, o1, o2, o3):
+        i = pl.program_id(0)
+        o1[0, i] = jnp.float32(geom[0, i])
+        o2[0, i] = fvals[0, i]
+        o3[0, i] = jnp.float32(i)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N,),
+        in_specs=[],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 3,
+    )
+    f = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, N), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    geom = jnp.zeros((11, N), jnp.int32)
+    fvals = jnp.zeros((6, N), jnp.float32)
+    return jax.jit(lambda: f(geom, fvals)).lower().compile()
+
+
+STAGES = [stage0, stage1, stage2, stage3, stage4, stage5]
 
 
 def main():
