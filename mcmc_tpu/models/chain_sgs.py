@@ -342,6 +342,21 @@ def k_nearest_packed(candidate, rd, cd, K):
     False (idx there is clipped junk, masked downstream like top_k's -inf
     slots were).
     """
+    valid, rank, n_total = _k_nearest_valid(candidate, rd, cd, K)
+    SB = rd.shape[0]
+    # index of the (j+1)-th valid cell = #{i : rank_i <= j} (rank increments
+    # exactly at valid cells); for j >= n_total this counts the whole array
+    js = jnp.arange(K, dtype=jnp.int32)
+    pos = jnp.sum((rank[None, :] <= js[:, None]).astype(jnp.int32), axis=1)
+    idx = jnp.minimum(pos, SB * SB - 1)
+    sel = js < n_total
+    return idx, sel
+
+
+def _k_nearest_valid(candidate, rd, cd, K):
+    """Shared core of the sort-free selection: the VALID mask over the
+    raveled window (exactly the top_k set) plus its inclusive rank cumsum
+    and the total count."""
     SB = rd.shape[0]
     big = jnp.int32(2 * SB * SB)  # > max real d2 = 2·(SB-1)²
     d2 = rd[:, None] * rd[:, None] + cd[None, :] * cd[None, :]
@@ -362,14 +377,27 @@ def k_nearest_packed(candidate, rd, cd, K):
     take_tie = ties & (jnp.cumsum(ties.astype(jnp.int32)) <= K - n_strict)
     valid = strict | take_tie
     rank = jnp.cumsum(valid.astype(jnp.int32))   # inclusive
-    n_total = rank[-1]
-    # index of the (j+1)-th valid cell = #{i : rank_i <= j} (rank increments
-    # exactly at valid cells); for j >= n_total this counts the whole array
+    return valid, rank, rank[-1]
+
+
+def k_nearest_onehot(candidate, rd, cd, K):
+    """The same selection as :func:`k_nearest_packed`, as a PACKING MATRIX.
+
+    Returns (P (K, SB²) f32, sel (K,) bool) with P[j, i] = 1 iff window
+    cell i is the (j+1)-th selected cell (index order).  Each row has at
+    most one nonzero, so packing any per-cell vector is the exact matvec
+    ``P @ v`` and the scatter-back of packed weights is ``P.T @ w`` — both
+    MXU matmuls (use precision=HIGHEST so v's values are not rounded to
+    bf16), replacing the vmapped dynamic gather ``v[top_idx]`` and the
+    ``at[top_idx].add`` scatter whose per-op overhead dominates the phase
+    on the measured backend (NOTES_ROUND4 §6 lever a).
+    """
+    valid, rank, n_total = _k_nearest_valid(candidate, rd, cd, K)
     js = jnp.arange(K, dtype=jnp.int32)
-    pos = jnp.sum((rank[None, :] <= js[:, None]).astype(jnp.int32), axis=1)
-    idx = jnp.minimum(pos, SB * SB - 1)
+    P = ((rank[None, :] == js[:, None] + 1) & valid[None, :]
+         ).astype(jnp.float32)
     sel = js < n_total
-    return idx, sel
+    return P, sel
 
 
 def make_sgs_stages(static: SGSStatic):
@@ -493,11 +521,32 @@ def make_sgs_stages(static: SGSStatic):
             score = jnp.where(candidate, -euclid, -jnp.inf).ravel()
             top_val, top_idx = jax.lax.top_k(score, static.K)
             sel = jnp.isfinite(top_val)
-        else:  # sort-free exact K-nearest (same set as top_k; see docstring)
+        elif "gatherpack" in _cut:  # surgery: packed-index gather/scatter
             top_idx, sel = k_nearest_packed(candidate, rd, cd, static.K)
+        else:  # DEFAULT: pack via one-hot matmuls — the rhs gather, the
+            # ia/ja derivation, and finalize's scatter-back all become MXU
+            # matmuls against the K x SB² packing matrix (zero dynamic-
+            # index ops in this phase; bitwise == the gather path on CPU,
+            # measured 10.897 vs 11.087 ms/step-batch at 512 chains on
+            # v5e-1 — NOTES_ROUND4 §6 lever d)
+            top_idx = None
+            pack_P, sel = k_nearest_onehot(candidate, rd, cd, static.K)
         m_sel = sel.astype(jnp.float32)
         dz = jnp.where(cond_mask, z_w - z_u, 0.0).ravel()
-        rhs_p = jnp.where(sel, dz[top_idx], 0.0)
+        if top_idx is None:
+            # one matmul packs rhs + both packed coordinates (small exact
+            # ints in f32); HIGHEST keeps dz values un-rounded
+            rowsf = jnp.broadcast_to(
+                jnp.arange(SB, dtype=jnp.float32)[:, None], (SB, SB)).ravel()
+            colsf = jnp.broadcast_to(
+                jnp.arange(SB, dtype=jnp.float32)[None, :], (SB, SB)).ravel()
+            packed3 = jnp.matmul(pack_P, jnp.stack([dz, rowsf, colsf], -1),
+                                 precision=jax.lax.Precision.HIGHEST)
+            rhs_p = jnp.where(sel, packed3[:, 0], 0.0)
+            iaf, jaf = packed3[:, 1], packed3[:, 2]
+        else:
+            pack_P = None
+            rhs_p = jnp.where(sel, dz[top_idx], 0.0)
         # S_cc: covariance between the packed conditioning cells.  Two
         # evaluation paths, same values (tests/test_chain_sgs.py):
         #   - ANALYTIC MIXTURE (default when the covariance curve admits a
@@ -510,11 +559,17 @@ def make_sgs_stages(static: SGSStatic):
         #   - STAMP GATHER (fallback, e.g. the spherical model's range kink;
         #     surgery gate "stampgather" forces it): gather BY OFFSET from
         #     the periodized (NE, NE) covariance stamp.
-        ia = top_idx // SB
-        ja = top_idx - SB * ia
+        if top_idx is None:
+            ia = iaf.astype(jnp.int32)   # exact small ints (stamp fallback)
+            ja = jaf.astype(jnp.int32)
+        else:
+            ia = top_idx // SB
+            ja = top_idx - SB * ia
+            iaf = ia.astype(jnp.float32)
+            jaf = ja.astype(jnp.float32)
         if static.Mg + static.Me > 0 and "stampgather" not in _cut:
-            dif = (ia[:, None] - ia[None, :]).astype(jnp.float32)
-            djf = (ja[:, None] - ja[None, :]).astype(jnp.float32)
+            dif = iaf[:, None] - iaf[None, :]
+            djf = jaf[:, None] - jaf[None, :]
             h2 = (consts.qcoef[0] * djf * djf + consts.qcoef[1] * djf * dif
                   + consts.qcoef[2] * dif * dif)
             hn = jnp.sqrt(h2)
@@ -528,8 +583,9 @@ def make_sgs_stages(static: SGSStatic):
             dj = jnp.mod(ja[:, None] - ja[None, :], NE)
             S_cc = consts.cov_stamp[di, dj]
         eps = 1e-3 * jnp.maximum(consts.sill, 1.0)
+        pack = pack_P if top_idx is None else top_idx
         pre = (sx, sy, in_block, sim_mask, data_w, ring_dist, z_w, z_u,
-               top_idx, sel, bed_w, res_old_w, resampled_w, zbed_w,
+               pack, sel, bed_w, res_old_w, resampled_w, zbed_w,
                surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f,
                mcf_w, cx, cy, bsx, bsy)
         return pre, (S_cc, m_sel, rhs_p, eps)
@@ -546,14 +602,18 @@ def make_sgs_stages(static: SGSStatic):
     def finalize(consts: SGSConsts, state: SGSState, pre, w_p, noise, u,
                  key):
         (sx, sy, in_block, sim_mask, data_w, ring_dist, z_w, z_u,
-         top_idx, sel, bed_w, res_old_w, resampled_w, zbed_w,
+         pack, sel, bed_w, res_old_w, resampled_w, zbed_w,
          surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f,
          mcf_w, cx, cy, bsx, bsy) = pre
         # scatter packed weights back to the window; Sigma_{:,C} w is a
         # covariance-stamp convolution (stationarity) -> FFT with the exact
         # spectrum (no wraparound: NE >= 2*SB covers all window offsets)
-        w_full = jnp.zeros((SB * SB,), jnp.float32).at[top_idx].add(
-            jnp.where(sel, w_p, 0.0))
+        if pack.ndim == 2:  # one-hot packing matrix (default)
+            w_full = jnp.matmul(jnp.where(sel, w_p, 0.0), pack,
+                                precision=jax.lax.Precision.HIGHEST)
+        else:  # (K,) packed index vector (gather-path gates)
+            w_full = jnp.zeros((SB * SB,), jnp.float32).at[pack].add(
+                jnp.where(sel, w_p, 0.0))
         w_pad = jnp.zeros((NA, NA), jnp.float32).at[:SB, :SB].set(
             w_full.reshape(SB, SB))
         # real input + real symmetric spectrum -> half-spectrum FFT pair on

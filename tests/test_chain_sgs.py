@@ -443,6 +443,52 @@ class TestKNearestPacked:
             # packed slots are index-sorted and unique
             assert np.all(np.diff(idx[sel]) > 0), trial
 
+    def test_onehot_matches_packed_indices(self):
+        """k_nearest_onehot's packing matrix row j must be the indicator of
+        k_nearest_packed's idx[j] (and all-zero past the valid count)."""
+        import jax.numpy as jnp
+
+        from mcmc_tpu.models.chain_sgs import (k_nearest_onehot,
+                                               k_nearest_packed)
+
+        rng = np.random.default_rng(7)
+        SB, K = 24, 16
+        r = np.arange(SB)
+        for trial in range(12):
+            a0 = rng.integers(0, SB)
+            rd = np.maximum(np.abs(r - a0) - 2, 0)
+            cd = np.maximum(np.abs(r - (SB - 1 - a0)) - 3, 0)
+            candidate = rng.random((SB, SB)) < [0.5, 0.04, 0.0][trial % 3]
+            args = (jnp.asarray(candidate), jnp.asarray(rd, jnp.int32),
+                    jnp.asarray(cd, jnp.int32), K)
+            idx, sel = map(np.asarray, k_nearest_packed(*args))
+            P, sel2 = map(np.asarray, k_nearest_onehot(*args))
+            np.testing.assert_array_equal(sel, sel2)
+            for j in range(K):
+                want = np.zeros(SB * SB, np.float32)
+                if sel[j]:
+                    want[idx[j]] = 1.0
+                np.testing.assert_array_equal(P[j], want, err_msg=f"{trial}/{j}")
+
+    def test_gate_matmulpack_bitwise_on_cpu(self, monkeypatch):
+        """On CPU (true-f32 matmuls) the one-hot packing matmuls are EXACT —
+        each row has one nonzero — so the whole chain trajectory must be
+        bitwise identical to the gather/scatter path."""
+        p = make_synthetic_problem(H=48, W=48)
+
+        def run_with(gate):
+            monkeypatch.setenv("MCMC_TPU_SGS_SURGERY", gate)
+            try:
+                return build_sgs_chain(p).run(60, seed=3, progress_bar=False)
+            finally:
+                monkeypatch.delenv("MCMC_TPU_SGS_SURGERY")
+
+        o_def = run_with("")  # default: one-hot packing matmuls
+        o_mm = run_with("gatherpack")
+        np.testing.assert_array_equal(o_def["loss"], o_mm["loss"])
+        np.testing.assert_array_equal(o_def["steps"], o_mm["steps"])
+        np.testing.assert_array_equal(o_def["bed"], o_mm["bed"])
+
     def test_gate_sorttopk_same_chain_statistics(self, monkeypatch):
         """The production chain run must be statistically indistinguishable
         under either selection path (same set => same proposal law; only
