@@ -599,8 +599,11 @@ def make_sgs_stages(static: SGSStatic):
             return masked_spd_solve(S_cc, m_sel, rhs_p, eps)
         return masked_cg_solve(S_cc, m_sel, rhs_p, eps, static.cg_iters)
 
-    def finalize(consts: SGSConsts, state: SGSState, pre, w_p, noise, u,
-                 key):
+    def draw_z(consts: SGSConsts, state: SGSState, pre, w_p, noise):
+        """Stage B1: scatter-back + kriging adjustment + conditional draw.
+        Returns (z_new_w, z_cache_w) so the batched step can apply the
+        inverse LUT over the WHOLE chain batch at once (the Pallas kernel
+        of ops/lut_kernel needs the 128-lane batch layout)."""
         (sx, sy, in_block, sim_mask, data_w, ring_dist, z_w, z_u,
          pack, sel, bed_w, res_old_w, resampled_w, zbed_w,
          surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f,
@@ -638,11 +641,19 @@ def make_sgs_stages(static: SGSStatic):
                                  consts.nst.fwd_table[-1, 1])
         else:
             z_cache_w = z_new_w
+        return z_new_w, z_cache_w
 
+    def commit(consts: SGSConsts, state: SGSState, pre, z_new_w, z_cache_w,
+               inv_draw, u, key):
+        """Stage B2: data-space writeback + residual patch + MH accept.
+        ``inv_draw`` is inverse_LUT(z_new_w) (None when no transform)."""
+        (sx, sy, in_block, sim_mask, data_w, ring_dist, z_w, z_u,
+         pack, sel, bed_w, res_old_w, resampled_w, zbed_w,
+         surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f,
+         mcf_w, cx, cy, bsx, bsy) = pre
         # --- back to data space (ONE inverse LUT call; data cells re-snap
         # to inverse(transform(cond)) exactly like the reference) -----------
-        if static.use_transform and "nolut" not in _cut:
-            inv_draw = consts.nst.inverse(z_new_w)
+        if inv_draw is not None:
             bed_new_w = jnp.where(sim_mask | (in_block & data_w),
                                   inv_draw, bed_w)
         else:
@@ -723,6 +734,22 @@ def make_sgs_stages(static: SGSStatic):
         }
         return new_state, trace
 
+    def finalize(consts: SGSConsts, state: SGSState, pre, w_p, noise, u,
+                 key):
+        """Stage B = B1 + per-chain XLA inverse LUT + B2 (the portable
+        composition; the batched step swaps the LUT for the Pallas batch
+        kernel between the vmapped halves)."""
+        z_new_w, z_cache_w = draw_z(consts, state, pre, w_p, noise)
+        if static.use_transform and "nolut" not in _cut:
+            inv_draw = consts.nst.inverse(z_new_w)
+        else:
+            inv_draw = None
+        return commit(consts, state, pre, z_new_w, z_cache_w, inv_draw,
+                      u, key)
+
+    # exposed for make_sgs_step_batched's batch-level LUT application
+    finalize.draw_z = draw_z
+    finalize.commit = commit
     return prepare, solve_one, finalize
 
 
@@ -803,6 +830,10 @@ def make_sgs_step_batched(static: SGSStatic):
     prepare, solve_one, finalize = make_sgs_stages(static)
     use_fused = ("fusedcg" in _cut and fused_cg_available()
                  and not ({"nocg", "cholsolve"} & _cut))
+    from ..ops.lut_kernel import LANES, lut_interp, lut_kernel_available
+
+    plut_wanted = (static.use_transform and "nolut" not in _cut
+                   and "noplut" not in _cut)
 
     def step(consts: SGSConsts, states: SGSState):
         key, cx, cy, bsx, bsy, noise, drop_u, u = jax.vmap(
@@ -817,6 +848,22 @@ def make_sgs_step_batched(static: SGSStatic):
                                     static.cg_iters)
         else:
             w_p = jax.vmap(solve_one)(S_cc, m_sel, rhs_p, eps)
+        use_plut = (plut_wanted
+                    and consts.nst.inv_table.shape[0] % LANES == 0
+                    and lut_kernel_available(consts.nst.inv_table.shape[0]))
+        if use_plut:
+            # batch-level inverse LUT: ONE Pallas launch over all chains'
+            # windows (0.28 ms vs the vmapped XLA pair-gather's ~1.8 ms at
+            # 512 chains — ops/lut_kernel).  Identical arithmetic to
+            # NormalScoreLUT._lookup, so semantics == vmap(finalize).
+            z_new_w, z_cache_w = jax.vmap(
+                finalize.draw_z, in_axes=(None, 0, 0, 0, 0))(
+                    consts, states, pre, w_p, noise)
+            inv_draw = lut_interp(z_new_w, consts.nst.inv_lo,
+                                  consts.nst.inv_scale, consts.nst.inv_table)
+            return jax.vmap(finalize.commit,
+                            in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+                consts, states, pre, z_new_w, z_cache_w, inv_draw, u, key)
         return jax.vmap(finalize, in_axes=(None, 0, 0, 0, 0, 0, 0))(
             consts, states, pre, w_p, noise, u, key)
 
