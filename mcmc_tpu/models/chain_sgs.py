@@ -425,23 +425,31 @@ def make_sgs_stages(static: SGSStatic):
     def drop_u_nugget(noise):
         return noise[NE * NE:].reshape(SB, SB)
 
-    def prepare(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
-                noise, drop_u):
-        # --- block extent (reference MCMC.py:1761-1764; x -> rows) ----------
+    def window_start(cx, cy, bsx, bsy):
+        """Block extent + clamped window start (reference MCMC.py:1761-1764;
+        x -> rows).  Exposed so the batched step can run the Pallas window
+        extract BEFORE the vmapped prepare."""
         bxmin = jnp.maximum(0, (2 * cx - bsx) // 2)
         bxmax = jnp.minimum(H, (2 * cx + bsx) // 2)
         bymin = jnp.maximum(0, (2 * cy - bsy) // 2)
         bymax = jnp.minimum(W, (2 * cy + bsy) // 2)
-
         sx = jnp.clip(bxmin - M, 0, H - SB)
         sy = jnp.clip(bymin - M, 0, W - SB)
+        return bxmin, bxmax, bymin, bymax, sx, sy
+
+    def prepare(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
+                noise, drop_u, windows=None):
+        bxmin, bxmax, bymin, bymax, sx, sy = window_start(cx, cy, bsx, bsy)
         rows = sx + jnp.arange(SB)
         cols = sy + jnp.arange(SB)
         in_rows = (rows >= bxmin) & (rows < bxmax)
         in_cols = (cols >= bymin) & (cols < bymax)
         in_block = in_rows[:, None] & in_cols[None, :]
 
-        if "nogather" in _cut:  # surgery: fixed-position window slices
+        if windows is not None:  # pre-extracted by the Pallas window kernel
+            cw = windows[:10]
+            sw = windows[10:]
+        elif "nogather" in _cut:  # surgery: fixed-position window slices
             cw = consts.stacked[:, :SB, :SB]
             sw = state.fields[:, :SB, :SB]
         else:
@@ -643,10 +651,14 @@ def make_sgs_stages(static: SGSStatic):
             z_cache_w = z_new_w
         return z_new_w, z_cache_w
 
-    def commit(consts: SGSConsts, state: SGSState, pre, z_new_w, z_cache_w,
-               inv_draw, u, key):
-        """Stage B2: data-space writeback + residual patch + MH accept.
-        ``inv_draw`` is inverse_LUT(z_new_w) (None when no transform)."""
+    def commit_core(consts: SGSConsts, state: SGSState, pre, z_new_w,
+                    z_cache_w, inv_draw, u, key):
+        """Stage B2: data-space window + residual patch + MH accept —
+        everything EXCEPT the field-plane writeback.  Returns
+        (new_w (4,SB,SB) with the accept folded into the content, scalars
+        dict) so the batched step can write all chains back in one Pallas
+        launch (ops/sgs_window_kernel).  ``inv_draw`` is
+        inverse_LUT(z_new_w) (None when no transform)."""
         (sx, sy, in_block, sim_mask, data_w, ring_dist, z_w, z_u,
          pack, sel, bed_w, res_old_w, resampled_w, zbed_w,
          surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f,
@@ -705,19 +717,22 @@ def make_sgs_stages(static: SGSStatic):
             # transform's range)
             jnp.where(write, z_cache_w, zbed_w),
         ])
-        if "noscatter" in _cut:  # surgery: drop the state write-back
-            fields_out = state.fields + jnp.float32(1e-20) * new_w.mean()
-        else:
-            fields_out = jax.lax.dynamic_update_slice(state.fields, new_w,
-                                                      (0, sx, sy))
-
         y = jnp.where(accept & ~viol, delta, 0.0) - state.loss_comp
         t = state.loss_mc + y
         comp = (t - state.loss_mc) - y
+        scalars = dict(t=t, comp=comp, accept=accept, write=write,
+                       sx=sx, sy=sy, key=key,
+                       block=jnp.stack([cx, cy, bsx, bsy]
+                                       ).astype(jnp.float32))
+        return new_w, scalars
 
+    def assemble(consts: SGSConsts, state: SGSState, fields_out, sc):
+        """Stage B3: state + trace from the written-back field planes."""
+        t = sc["t"]
         new_state = SGSState(fields=fields_out, loss_mc=t,
-                             loss_comp=comp, key=key,
-                             accepted=state.accepted + accept.astype(jnp.int32))
+                             loss_comp=sc["comp"], key=sc["key"],
+                             accepted=state.accepted
+                             + sc["accept"].astype(jnp.int32))
         # sample probes report the full (trend-restored) bed like the
         # reference's bed_cache (MCMC.py:1822-1829)
         full_bed_probe = (fields_out[0, consts.sample_ij[:, 0],
@@ -728,11 +743,27 @@ def make_sgs_stages(static: SGSStatic):
             "loss_mc": t,
             "loss_data": jnp.float32(0.0),
             "loss": t,
-            "step": accept,
-            "block": jnp.stack([cx, cy, bsx, bsy]).astype(jnp.float32),
+            "step": sc["accept"],
+            "block": sc["block"],
             "samples": full_bed_probe,
         }
         return new_state, trace
+
+    def commit(consts: SGSConsts, state: SGSState, pre, z_new_w, z_cache_w,
+               inv_draw, u, key):
+        """Per-chain composition: core + folded unconditional writeback.
+        (The accept decision is folded into the window CONTENT — rejected
+        chains rewrite their old values bitwise — so one dus serves all
+        three outcomes; the batched step's Pallas writeback instead skips
+        rejected chains' DMAs, same result bitwise.)"""
+        new_w, sc = commit_core(consts, state, pre, z_new_w, z_cache_w,
+                                inv_draw, u, key)
+        if "noscatter" in _cut:  # surgery: drop the state write-back
+            fields_out = state.fields + jnp.float32(1e-20) * new_w.mean()
+        else:
+            fields_out = jax.lax.dynamic_update_slice(
+                state.fields, new_w, (0, sc["sx"], sc["sy"]))
+        return assemble(consts, state, fields_out, sc)
 
     def finalize(consts: SGSConsts, state: SGSState, pre, w_p, noise, u,
                  key):
@@ -747,9 +778,12 @@ def make_sgs_stages(static: SGSStatic):
         return commit(consts, state, pre, z_new_w, z_cache_w, inv_draw,
                       u, key)
 
-    # exposed for make_sgs_step_batched's batch-level LUT application
+    # exposed for make_sgs_step_batched's batch-level Pallas stages
     finalize.draw_z = draw_z
     finalize.commit = commit
+    finalize.commit_core = commit_core
+    finalize.assemble = assemble
+    finalize.window_start = window_start
     return prepare, solve_one, finalize
 
 
@@ -831,16 +865,39 @@ def make_sgs_step_batched(static: SGSStatic):
     use_fused = ("fusedcg" in _cut and fused_cg_available()
                  and not ({"nocg", "cholsolve"} & _cut))
     from ..ops.lut_kernel import LANES, lut_interp, lut_kernel_available
+    from ..ops.sgs_window_kernel import (make_window_extract,
+                                         make_window_writeback,
+                                         sgs_window_kernel_available)
 
     plut_wanted = (static.use_transform and "nolut" not in _cut
                    and "noplut" not in _cut)
+    # Pallas window extract/writeback (ops/sgs_window_kernel): the three
+    # per-chain dynamic window ops cost 5.96 ms/step-batch at 512 chains
+    # in isolation vs 1.29 ms for the kernel pair (NOTES_ROUND4 §6 lever f)
+    pwin_interp = "pwininterp" in _cut  # CI hook: interpret-mode kernels
+    use_pwin = (pwin_interp
+                or ("nopwin" not in _cut
+                    and not ({"nogather", "noscatter"} & _cut)
+                    and sgs_window_kernel_available()))
+    if use_pwin:
+        extract_fn = make_window_extract(static.H, static.W, static.SB,
+                                         NP=10, NS=4, interpret=pwin_interp)
+        writeback_fn = make_window_writeback(static.H, static.W, static.SB,
+                                             NS=4, interpret=pwin_interp)
 
     def step(consts: SGSConsts, states: SGSState):
         key, cx, cy, bsx, bsy, noise, drop_u, u = jax.vmap(
             lambda k: _sample_proposal(static, consts, k))(states.key)
-        pre, (S_cc, m_sel, rhs_p, eps) = jax.vmap(
-            prepare, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
-                consts, states, cx, cy, bsx, bsy, noise, drop_u)
+        if use_pwin:
+            *_, sxv, syv = jax.vmap(finalize.window_start)(cx, cy, bsx, bsy)
+            windows = extract_fn(consts.stacked, states.fields, sxv, syv)
+            pre, (S_cc, m_sel, rhs_p, eps) = jax.vmap(
+                prepare, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
+                    consts, states, cx, cy, bsx, bsy, noise, drop_u, windows)
+        else:
+            pre, (S_cc, m_sel, rhs_p, eps) = jax.vmap(
+                prepare, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+                    consts, states, cx, cy, bsx, bsy, noise, drop_u)
         if use_fused:
             from ..ops.cg_kernel import batched_masked_cg
 
@@ -848,24 +905,44 @@ def make_sgs_step_batched(static: SGSStatic):
                                     static.cg_iters)
         else:
             w_p = jax.vmap(solve_one)(S_cc, m_sel, rhs_p, eps)
+        plut_interp = "plutinterp" in _cut  # CI hook
         use_plut = (plut_wanted
                     and consts.nst.inv_table.shape[0] % LANES == 0
-                    and lut_kernel_available(consts.nst.inv_table.shape[0]))
-        if use_plut:
-            # batch-level inverse LUT: ONE Pallas launch over all chains'
-            # windows (0.28 ms vs the vmapped XLA pair-gather's ~1.8 ms at
-            # 512 chains — ops/lut_kernel).  Identical arithmetic to
-            # NormalScoreLUT._lookup, so semantics == vmap(finalize).
-            z_new_w, z_cache_w = jax.vmap(
-                finalize.draw_z, in_axes=(None, 0, 0, 0, 0))(
-                    consts, states, pre, w_p, noise)
+                    and (plut_interp or lut_kernel_available(
+                        consts.nst.inv_table.shape[0])))
+        if not (use_plut or use_pwin):
+            return jax.vmap(finalize, in_axes=(None, 0, 0, 0, 0, 0, 0))(
+                consts, states, pre, w_p, noise, u, key)
+        # batch-level Pallas stage B: vmapped draw, ONE LUT launch over all
+        # chains' windows (0.28 ms vs the vmapped XLA pair-gather's ~1.8 ms
+        # — ops/lut_kernel), vmapped core, ONE writeback launch.  Identical
+        # arithmetic to vmap(finalize) (LUT bitwise on hardware, writeback
+        # bitwise by construction).
+        z_new_w, z_cache_w = jax.vmap(
+            finalize.draw_z, in_axes=(None, 0, 0, 0, 0))(
+                consts, states, pre, w_p, noise)
+        if not static.use_transform or "nolut" in _cut:
+            inv_draw = None
+        elif use_plut:
             inv_draw = lut_interp(z_new_w, consts.nst.inv_lo,
-                                  consts.nst.inv_scale, consts.nst.inv_table)
-            return jax.vmap(finalize.commit,
-                            in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
-                consts, states, pre, z_new_w, z_cache_w, inv_draw, u, key)
-        return jax.vmap(finalize, in_axes=(None, 0, 0, 0, 0, 0, 0))(
-            consts, states, pre, w_p, noise, u, key)
+                                  consts.nst.inv_scale, consts.nst.inv_table,
+                                  interpret=plut_interp)
+        else:
+            inv_draw = consts.nst.inverse(z_new_w)
+        new_w, sc = jax.vmap(finalize.commit_core,
+                             in_axes=(None, 0, 0, 0, 0,
+                                      None if inv_draw is None else 0, 0, 0))(
+            consts, states, pre, z_new_w, z_cache_w, inv_draw, u, key)
+        if use_pwin:
+            fields_out = writeback_fn(states.fields, new_w, sc["sx"],
+                                      sc["sy"], sc["write"])
+        else:
+            fields_out = jax.vmap(
+                lambda f, nw, sx, sy: jax.lax.dynamic_update_slice(
+                    f, nw, (0, sx, sy)))(states.fields, new_w,
+                                         sc["sx"], sc["sy"])
+        return jax.vmap(finalize.assemble, in_axes=(None, 0, 0, 0))(
+            consts, states, fields_out, sc)
 
     return step
 

@@ -44,6 +44,7 @@ _UNDOCUMENTED_MODULES = {
     "mcmc_tpu.utils",           # bare package; submodules are the API
     "mcmc_tpu.ops.window_kernel",  # fused Pallas kernel, auto-selected
     "mcmc_tpu.ops.lut_kernel",     # Pallas LUT kernel, auto-selected
+    "mcmc_tpu.ops.sgs_window_kernel",  # Pallas window DMA kernels, auto-selected
     "mcmc_tpu.ops.cg_kernel",      # opt-in surgery kernel (measured off)
     "mcmc_tpu.ops.noise_kernel",   # opt-in surgery kernel (measured off)
 }

@@ -489,6 +489,53 @@ class TestKNearestPacked:
         np.testing.assert_array_equal(o_def["steps"], o_mm["steps"])
         np.testing.assert_array_equal(o_def["bed"], o_mm["bed"])
 
+    def test_gate_pwininterp_bitwise_on_cpu(self, monkeypatch):
+        """The full batched pipeline with the Pallas window extract +
+        writeback kernels (interpret mode) must be BITWISE identical to
+        the XLA dynamic-slice path — the kernels are pure data movement."""
+        p = make_synthetic_problem(H=48, W=48)
+
+        def run_with(gate):
+            monkeypatch.setenv("MCMC_TPU_SGS_SURGERY", gate)
+            try:
+                from mcmc_tpu.parallel import MultiChainSampler
+
+                c = build_sgs_chain(p)
+                sampler = MultiChainSampler(c, n_chains=3)
+                states = sampler.init(seeds=0)
+                states, tr = sampler.run_segment(states, 40)
+                return np.asarray(states.fields), np.asarray(tr["loss"])
+            finally:
+                monkeypatch.delenv("MCMC_TPU_SGS_SURGERY")
+
+        f_def, l_def = run_with("")
+        f_pw, l_pw = run_with("pwininterp")
+        np.testing.assert_array_equal(l_def, l_pw)
+        np.testing.assert_array_equal(f_def, f_pw)
+
+    def test_gate_plutinterp_same_statistics_on_cpu(self, monkeypatch):
+        """Batched pipeline with the interpret-mode Pallas LUT: differs
+        from XLA only by the lerp's FMA contraction (1 ulp), so short-run
+        trajectories match to float tolerance."""
+        p = make_synthetic_problem(H=48, W=48)
+
+        def run_with(gate):
+            monkeypatch.setenv("MCMC_TPU_SGS_SURGERY", gate)
+            try:
+                from mcmc_tpu.parallel import MultiChainSampler
+
+                c = build_sgs_chain(p)
+                sampler = MultiChainSampler(c, n_chains=3)
+                states = sampler.init(seeds=0)
+                _, tr = sampler.run_segment(states, 40)
+                return np.asarray(tr["loss"])
+            finally:
+                monkeypatch.delenv("MCMC_TPU_SGS_SURGERY")
+
+        l_def = run_with("")
+        l_pl = run_with("plutinterp")
+        np.testing.assert_allclose(l_def, l_pl, rtol=2e-4, atol=2e-2)
+
     def test_gate_sorttopk_same_chain_statistics(self, monkeypatch):
         """The production chain run must be statistically indistinguishable
         under either selection path (same set => same proposal law; only
