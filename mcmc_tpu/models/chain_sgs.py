@@ -864,6 +864,15 @@ def make_sgs_step_batched(static: SGSStatic):
     prepare, solve_one, finalize = make_sgs_stages(static)
     use_fused = ("fusedcg" in _cut and fused_cg_available()
                  and not ({"nocg", "cholsolve"} & _cut))
+    # lanes CG (ops/cg_kernel.lanes_masked_cg): the whole-batch fused CG in
+    # 2D batch-in-lanes tiles — the layout that the rank-3 Mosaic crash
+    # (docstring above) forbade, rebuilt per the NOTES_ROUND4 §7 lesson.
+    # Opt-in "lanescg" while under measurement; "lanesinterp" is the CI hook.
+    from ..ops.cg_kernel import lanes_cg_available, lanes_masked_cg
+    lanes_interp = "lanesinterp" in _cut
+    use_lanes = ((("lanescg" in _cut and lanes_cg_available())
+                  or lanes_interp)
+                 and not ({"nocg", "cholsolve", "fusedcg"} & _cut))
     from ..ops.lut_kernel import LANES, lut_interp, lut_kernel_available
     from ..ops.sgs_window_kernel import (make_window_extract,
                                          make_window_writeback,
@@ -898,7 +907,10 @@ def make_sgs_step_batched(static: SGSStatic):
             pre, (S_cc, m_sel, rhs_p, eps) = jax.vmap(
                 prepare, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
                     consts, states, cx, cy, bsx, bsy, noise, drop_u)
-        if use_fused:
+        if use_lanes:
+            w_p = lanes_masked_cg(S_cc, m_sel, rhs_p, eps,
+                                  static.cg_iters, interpret=lanes_interp)
+        elif use_fused:
             from ..ops.cg_kernel import batched_masked_cg
 
             w_p = batched_masked_cg(S_cc, m_sel, rhs_p, eps,

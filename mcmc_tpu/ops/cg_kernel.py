@@ -36,6 +36,121 @@ import jax
 import jax.numpy as jnp
 
 
+def _cg_lanes_kernel(n_iters: int, K: int, a_ref, b_ref, out_ref):
+    """Whole-batch CG with the BATCH in the 128-lane dimension.
+
+    The rank-3 whole-batch form crashes Mosaic (module docstring); this is
+    the same fusion in 2D tiles only — the NOTES_ROUND4 §7 lesson (lane
+    padding applies to the minor dim, so put the big axis there) applied to
+    VMEM layouts: a_ref is the masked system matrix TRANSPOSED to
+    (K*K, B) with batch in lanes, b_ref/out_ref are (K, B).  The matvec
+    q[i] = sum_j A[i,j] p[j] runs as K static contiguous sublane blocks —
+    A is SYMMETRIC, so the j-major block A[j*K:(j+1)*K] is column j of
+    every row — each a (K, B) tile FMA'd against the broadcast sublane row
+    p[j].  Everything is straight-line VPU code over (K, B) tiles; no
+    relayouts, no rank-3, one program for the whole batch.
+    """
+    A = a_ref[...]                    # (K*K, B), j-major blocks (symmetry)
+    b = b_ref[...]                    # (K, B)
+
+    def matvec(v):                    # (K, B) -> (K, B)
+        q = A[0:K, :] * v[0:1, :]
+        for j in range(1, K):
+            q = q + A[j * K:(j + 1) * K, :] * v[j:j + 1, :]
+        return q
+
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = jnp.sum(r * r, axis=0, keepdims=True)            # (1, B)
+
+    def body(i, carry):
+        x, r, p, rs = carry
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap, axis=0, keepdims=True)
+        alpha = rs / jnp.maximum(pAp, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.sum(r * r, axis=0, keepdims=True)
+        p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+        return (x, r, p, rs_new)
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rs))
+    out_ref[...] = x
+
+
+def _masked_system(Sigma, mask, eps):
+    """(M Sigma M + (I-M) + eps I) — the matrix masked_cg_solve applies."""
+    C, K = mask.shape
+    m = mask
+    eps = jnp.asarray(eps)
+    if eps.ndim:                      # per-chain (C,) -> broadcast over K
+        eps = eps[..., None]
+    return (Sigma * m[:, :, None] * m[:, None, :]
+            + jnp.eye(K, dtype=Sigma.dtype)
+            * (eps + (1.0 - m))[:, None, :])
+
+
+LANES = 128  # TPU lane width: the batch dim is padded to a multiple
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters", "interpret"))
+def lanes_masked_cg(Sigma, mask, rhs, eps, n_iters: int = 64,
+                    interpret: bool = False):
+    """Whole-batch fused CG, batch-in-lanes layout (see _cg_lanes_kernel).
+
+    Sigma: (C, K, K); mask/rhs: (C, K).  Returns w (C, K) with masked slots
+    zeroed.  Same system as vmapped ``kriging.masked_cg_solve``; the
+    iteration arithmetic is identical but reduction ORDER differs (sublane
+    tree sums vs XLA's batched dots), so agreement is to f32 roundoff, not
+    bitwise — tolerance documented in tests/test_cg_kernel.py.
+
+    Batch padding: C is padded to a LANES multiple with all-zero systems
+    (zero matrix + zero rhs keeps every iterate exactly zero — alpha/beta
+    hit their 1e-30 guards).  VMEM for one program is (K²+4K)·B_pad·4 B
+    (4.9 MB at K=48, B=512); above ``max_lanes_per_program`` the batch is
+    gridded into lane blocks.
+    """
+    from jax.experimental import pallas as pl
+
+    C, K = mask.shape
+    Sm = _masked_system(Sigma, mask, eps).astype(jnp.float32)
+    b = (mask * rhs).astype(jnp.float32)
+
+    Cp = -(-C // LANES) * LANES
+    # lane-block size: whole batch when it fits one program's VMEM budget
+    max_lanes = max(LANES, min(Cp, (64 << 20) // ((K * K + 4 * K) * 4)
+                               // LANES * LANES))
+    if Cp % max_lanes:
+        max_lanes = LANES
+    St = jnp.zeros((K * K, Cp), jnp.float32).at[:, :C].set(
+        Sm.reshape(C, K * K).T)
+    bt = jnp.zeros((K, Cp), jnp.float32).at[:, :C].set(b.T)
+
+    out = pl.pallas_call(
+        functools.partial(_cg_lanes_kernel, n_iters, K),
+        grid=(Cp // max_lanes,),
+        in_specs=[
+            pl.BlockSpec((K * K, max_lanes), lambda i: (0, i)),
+            pl.BlockSpec((K, max_lanes), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((K, max_lanes), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((K, Cp), jnp.float32),
+        interpret=interpret,
+    )(St, bt)
+    return out[:, :C].T * mask
+
+
+def lanes_cg_available() -> bool:
+    """The lanes CG kernel targets TPU backends (incl. the tunneled axon
+    one); elsewhere the vmapped XLA CG is used (CI covers the kernel in
+    interpret mode)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _cg_kernel(n_iters: int, a_ref, b_ref, out_ref):
     A = a_ref[...]                   # (C, K, K) symmetric SPD
     b = b_ref[...]                   # (C, K, 1) column vectors

@@ -536,6 +536,30 @@ class TestKNearestPacked:
         l_pl = run_with("plutinterp")
         np.testing.assert_allclose(l_def, l_pl, rtol=2e-4, atol=2e-2)
 
+    def test_gate_lanesinterp_same_statistics_on_cpu(self, monkeypatch):
+        """Batched pipeline with the interpret-mode lanes CG kernel
+        (ops/cg_kernel.lanes_masked_cg): identical iteration arithmetic to
+        the vmapped XLA CG, different reduction order -> short-run
+        trajectories match to float tolerance."""
+        p = make_synthetic_problem(H=48, W=48)
+
+        def run_with(gate):
+            monkeypatch.setenv("MCMC_TPU_SGS_SURGERY", gate)
+            try:
+                from mcmc_tpu.parallel import MultiChainSampler
+
+                c = build_sgs_chain(p)
+                sampler = MultiChainSampler(c, n_chains=3)
+                states = sampler.init(seeds=0)
+                _, tr = sampler.run_segment(states, 40)
+                return np.asarray(tr["loss"])
+            finally:
+                monkeypatch.delenv("MCMC_TPU_SGS_SURGERY")
+
+        l_def = run_with("")
+        l_lanes = run_with("lanesinterp")
+        np.testing.assert_allclose(l_def, l_lanes, rtol=2e-4, atol=2e-2)
+
     def test_gate_sorttopk_same_chain_statistics(self, monkeypatch):
         """The production chain run must be statistically indistinguishable
         under either selection path (same set => same proposal law; only

@@ -200,6 +200,56 @@ class TestMaskedSolvers:
                 rtol=1e-3, atol=1e-3)
         assert np.all(w[mask == 0] == 0.0)
 
+    def test_lanes_cg_matches_numpy_and_xla(self, rng):
+        """ops/cg_kernel.lanes_masked_cg (whole-batch CG, batch-in-lanes 2D
+        layout, interpret mode here) == NumPy subsystem solve, and ==
+        vmapped masked_cg_solve to f32-reassociation tolerance (identical
+        iteration arithmetic, different reduction order).  C=5 also
+        exercises the zero-system lane padding (5 -> 128)."""
+        from mcmc_tpu.ops.cg_kernel import lanes_masked_cg
+        from mcmc_tpu.ops.kriging import masked_cg_solve
+
+        C, K, eps = 5, 48, 1e-3
+        A = rng.normal(size=(C, K, K))
+        Sigma = (A @ np.swapaxes(A, -1, -2) / K
+                 + np.eye(K)).astype(np.float32)
+        mask = (rng.random((C, K)) < 0.8).astype(np.float32)
+        mask[:, 0] = 1.0
+        rhs = rng.normal(size=(C, K)).astype(np.float32)
+        w = np.asarray(lanes_masked_cg(
+            jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs),
+            jnp.float32(eps), 64, interpret=True))
+        for c in range(C):
+            idx = np.where(mask[c] > 0)[0]
+            sub = Sigma[c][np.ix_(idx, idx)] + eps * np.eye(len(idx))
+            np.testing.assert_allclose(
+                w[c, idx], np.linalg.solve(sub, rhs[c, idx]),
+                rtol=1e-3, atol=1e-3)
+        assert np.all(w[mask == 0] == 0.0)
+        w_xla = np.asarray(jax.vmap(
+            lambda S, m, b: masked_cg_solve(S, m, b, jnp.float32(eps), 64))(
+            jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs)))
+        np.testing.assert_allclose(w, w_xla, rtol=2e-4, atol=2e-4)
+
+    def test_lanes_cg_per_chain_eps_vector(self, rng):
+        """The batched step passes eps as a per-chain (C,) vector."""
+        from mcmc_tpu.ops.cg_kernel import lanes_masked_cg
+
+        C, K = 3, 16
+        A = rng.normal(size=(C, K, K))
+        Sigma = (A @ np.swapaxes(A, -1, -2) / K
+                 + np.eye(K)).astype(np.float32)
+        mask = np.ones((C, K), np.float32)
+        rhs = rng.normal(size=(C, K)).astype(np.float32)
+        epsv = np.asarray([1e-3, 2e-3, 5e-3], np.float32)
+        w = np.asarray(lanes_masked_cg(
+            jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs),
+            jnp.asarray(epsv), 96, interpret=True))
+        for c in range(C):
+            sub = Sigma[c] + epsv[c] * np.eye(K)
+            np.testing.assert_allclose(w[c], np.linalg.solve(sub, rhs[c]),
+                                       rtol=1e-3, atol=1e-3)
+
     def test_spd_solve_batched(self, rng):
         from mcmc_tpu.ops.kriging import masked_spd_solve
 
