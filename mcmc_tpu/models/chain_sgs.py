@@ -575,7 +575,12 @@ def make_sgs_stages(static: SGSStatic):
             ja = top_idx - SB * ia
             iaf = ia.astype(jnp.float32)
             jaf = ja.astype(jnp.float32)
-        if static.Mg + static.Me > 0 and "stampgather" not in _cut:
+        if "nomix" in _cut:  # surgery: constant S_cc (isolates the mixture
+            # evaluation's transcendental cost from selection/packing; the
+            # CG still runs its full iteration count on a well-posed system)
+            S_cc = (consts.sill * jnp.eye(static.K, dtype=jnp.float32)
+                    + jnp.zeros((static.K, static.K), jnp.float32))
+        elif static.Mg + static.Me > 0 and "stampgather" not in _cut:
             dif = iaf[:, None] - iaf[None, :]
             djf = jaf[:, None] - jaf[None, :]
             h2 = (consts.qcoef[0] * djf * djf + consts.qcoef[1] * djf * dif
@@ -834,45 +839,29 @@ def make_sgs_step(static: SGSStatic):
     return step
 
 
-def fused_cg_available() -> bool:
-    """The Pallas CG kernel compiles on TPU backends (incl. the tunneled
-    axon one); elsewhere the vmapped XLA CG is used."""
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
-
-
 def make_sgs_step_batched(static: SGSStatic):
     """Batched (chains-leading) SGS step: vmapped stage A, the packed
     conditioning solve over the whole chain batch, vmapped stage B.
     Semantically identical to ``vmap(make_sgs_step(static))`` — same
     solve, same tolerance class (tests/test_chain_sgs.py::TestBatchedStep).
 
-    The batch solve defaults to the vmapped XLA CG.  The Pallas CG of
-    ops/cg_kernel is OPT-IN via ``MCMC_TPU_SGS_SURGERY=fusedcg``: its
-    winning shape (one program, matrices VMEM-resident across all
-    iterations) SIGABRTs the current Mosaic compiler on rank-3 batches,
-    and the per-chain-grid shape that does compile measures 13.6 vs
-    7.5 ms/step-batch at 256 chains (2026-08-17) — sequential grid
-    programs pay the 64-iteration loop latency per chain.  Re-evaluate on
-    newer toolchains."""
+    The batch solve defaults to the lanes-layout Pallas CG on TPU backends
+    (ops/cg_kernel.lanes_masked_cg: whole-batch fused CG in 2D
+    batch-in-lanes tiles, the NOTES_ROUND4 §7 SMEM/lane-padding lesson
+    applied to the rank-3 Mosaic crash).  Measured inside the real scan at
+    512 chains: 4.883 -> 3.708 ms/step-batch (+31.7%) at cg_iters=64 and
+    +17.8% at cg_iters=32 (NOTES_ROUND5 §1).  Gate ``nolanescg`` restores
+    the vmapped XLA CG; ``lanesinterp`` is the CI interpret-mode hook."""
     import os as _os
 
     _cut = set(filter(None, _os.environ.get(
         "MCMC_TPU_SGS_SURGERY", "").split(",")))
     prepare, solve_one, finalize = make_sgs_stages(static)
-    use_fused = ("fusedcg" in _cut and fused_cg_available()
-                 and not ({"nocg", "cholsolve"} & _cut))
-    # lanes CG (ops/cg_kernel.lanes_masked_cg): the whole-batch fused CG in
-    # 2D batch-in-lanes tiles — the layout that the rank-3 Mosaic crash
-    # (docstring above) forbade, rebuilt per the NOTES_ROUND4 §7 lesson.
-    # Opt-in "lanescg" while under measurement; "lanesinterp" is the CI hook.
     from ..ops.cg_kernel import lanes_cg_available, lanes_masked_cg
     lanes_interp = "lanesinterp" in _cut
-    use_lanes = ((("lanescg" in _cut and lanes_cg_available())
-                  or lanes_interp)
-                 and not ({"nocg", "cholsolve", "fusedcg"} & _cut))
+    use_lanes = ((lanes_interp
+                  or ("nolanescg" not in _cut and lanes_cg_available()))
+                 and not ({"nocg", "cholsolve"} & _cut))
     from ..ops.lut_kernel import LANES, lut_interp, lut_kernel_available
     from ..ops.sgs_window_kernel import (make_window_extract,
                                          make_window_writeback,
@@ -910,11 +899,6 @@ def make_sgs_step_batched(static: SGSStatic):
         if use_lanes:
             w_p = lanes_masked_cg(S_cc, m_sel, rhs_p, eps,
                                   static.cg_iters, interpret=lanes_interp)
-        elif use_fused:
-            from ..ops.cg_kernel import batched_masked_cg
-
-            w_p = batched_masked_cg(S_cc, m_sel, rhs_p, eps,
-                                    static.cg_iters)
         else:
             w_p = jax.vmap(solve_one)(S_cc, m_sel, rhs_p, eps)
         plut_interp = "plutinterp" in _cut  # CI hook

@@ -6,17 +6,24 @@ vmap).  In XLA each of the ~64 iterations is a separate chain of small
 batched ops; running the whole loop inside one Pallas program with the
 matrices VMEM-resident should remove that per-iteration overhead.
 
-STATUS (2026-08-17, axon v5e-1): correct but NOT the production default —
-opt-in via ``MCMC_TPU_SGS_SURGERY=fusedcg`` (models/chain_sgs.
-make_sgs_step_batched).  The winning single-program whole-batch shape
-cannot compile: Mosaic SIGABRTs on rank-3 elementwise/reduce patterns
-with a leading batch dim > 1 (probed: C=1 compiles, C=8 crashes; both the
-identity-diagonal reduce and a swapaxes relayout variant crash).  The
-grid-per-chain shape below DOES compile and is exact, but 256 sequential
-programs each paying the 64-iteration loop latency measure 13.6 vs the
-XLA CG's 7.5 ms/step-batch inside the SGS scan.  Re-evaluate the
-whole-batch form on newer toolchains; the XLA CG meanwhile costs only
-~0.9 ms of the step (the pre-mixture ~47% figure is obsolete).
+STATUS (2026-08-20, axon v5e-1): ``lanes_masked_cg`` is the PRODUCTION
+DEFAULT batch solve on TPU backends (models/chain_sgs.
+make_sgs_step_batched; gate ``nolanescg`` restores the vmapped XLA CG).
+Measured inside the real scan at 512 chains on the 512² bench problem
+(NOTES_ROUND5 §1): 4.883 -> 3.708 ms/step-batch (+31.7% it/s) at
+cg_iters=64 (Matérn) and 3.993 -> 3.391 ms (+17.8%) at cg_iters=32
+(exponential) — one program for the whole batch, matrices VMEM-resident
+across all iterations, no per-iteration dispatch.
+
+History: the naive rank-3 whole-batch form (one program, (C, K, K)
+blocks) SIGABRTs Mosaic on rank-3 elementwise/reduce patterns with a
+leading batch dim > 1 (probed 2026-08-17: C=1 compiles, C=8 crashes),
+and the grid-per-chain shape that did compile measured 13.6 vs the XLA
+CG's 7.5 ms/step-batch — 256 sequential programs each paying the
+64-iteration loop latency.  That ``batched_masked_cg`` path was deleted
+2026-08-20 (NOTES_ROUND5 §4) once the batch-in-lanes 2D layout below —
+the NOTES_ROUND4 §7 SMEM/lane-padding lesson — delivered the same fusion
+without rank-3 operands.
 
 The matrices are SYMMETRIC (masked covariance + diagonal), which lets the
 matvec run as a sublane reduction without any per-iteration relayout:
@@ -103,13 +110,17 @@ def lanes_masked_cg(Sigma, mask, rhs, eps, n_iters: int = 64,
     zeroed.  Same system as vmapped ``kriging.masked_cg_solve``; the
     iteration arithmetic is identical but reduction ORDER differs (sublane
     tree sums vs XLA's batched dots), so agreement is to f32 roundoff, not
-    bitwise — tolerance documented in tests/test_cg_kernel.py.
+    bitwise — tolerance pinned by
+    tests/test_kriging.py::test_lanes_cg_matches_numpy_and_xla.
 
     Batch padding: C is padded to a LANES multiple with all-zero systems
     (zero matrix + zero rhs keeps every iterate exactly zero — alpha/beta
-    hit their 1e-30 guards).  VMEM for one program is (K²+4K)·B_pad·4 B
-    (4.9 MB at K=48, B=512); above ``max_lanes_per_program`` the batch is
-    gridded into lane blocks.
+    hit their 1e-30 guards).  Live VMEM for one program is ~(K²+6K)·B·4 B
+    (A plus the b/out refs and the x/r/p/Ap iterates; 5.3 MB at K=48,
+    B=512); batches past a 32 MB budget are gridded into the LARGEST
+    lane-multiple block that divides the padded batch — never straight to
+    a 128-lane block, which would multiply sequential grid programs each
+    paying the full loop latency.
     """
     from jax.experimental import pallas as pl
 
@@ -118,11 +129,15 @@ def lanes_masked_cg(Sigma, mask, rhs, eps, n_iters: int = 64,
     b = (mask * rhs).astype(jnp.float32)
 
     Cp = -(-C // LANES) * LANES
-    # lane-block size: whole batch when it fits one program's VMEM budget
-    max_lanes = max(LANES, min(Cp, (64 << 20) // ((K * K + 4 * K) * 4)
-                               // LANES * LANES))
-    if Cp % max_lanes:
-        max_lanes = LANES
+    # lane-block size: whole batch when it fits one program's VMEM budget,
+    # else the largest LANES-multiple divisor of Cp under the budget
+    fit = max(LANES, (32 << 20) // ((K * K + 6 * K) * 4) // LANES * LANES)
+    max_lanes = LANES
+    for nblk in range(Cp // LANES, 0, -1):
+        blk = nblk * LANES
+        if blk <= fit and Cp % blk == 0:
+            max_lanes = blk
+            break
     St = jnp.zeros((K * K, Cp), jnp.float32).at[:, :C].set(
         Sm.reshape(C, K * K).T)
     bt = jnp.zeros((K, Cp), jnp.float32).at[:, :C].set(b.T)
@@ -151,70 +166,3 @@ def lanes_cg_available() -> bool:
         return False
 
 
-def _cg_kernel(n_iters: int, a_ref, b_ref, out_ref):
-    A = a_ref[...]                   # (C, K, K) symmetric SPD
-    b = b_ref[...]                   # (C, K, 1) column vectors
-
-    def matvec(v):                   # v: (C, K, 1) -> (C, K, 1)
-        row = jnp.sum(A * v, axis=1, keepdims=True)      # (C, 1, K)
-        return jnp.swapaxes(row, 1, 2)                   # (C, K, 1)
-
-    x = jnp.zeros_like(b)
-    r = b
-    p = r
-    rs = jnp.sum(r * r, axis=(1, 2), keepdims=True)      # (C, 1, 1)
-
-    def body(i, carry):
-        x, r, p, rs = carry
-        Ap = matvec(p)
-        pAp = jnp.sum(p * Ap, axis=(1, 2), keepdims=True)
-        alpha = rs / jnp.maximum(pAp, 1e-30)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rs_new = jnp.sum(r * r, axis=(1, 2), keepdims=True)
-        p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
-        return (x, r, p, rs_new)
-
-    x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rs))
-    out_ref[...] = x
-
-
-@functools.partial(jax.jit, static_argnames=("n_iters", "interpret"))
-def batched_masked_cg(Sigma, mask, rhs, eps, n_iters: int = 64,
-                      interpret: bool = False):
-    """Solve (M Sigma M + (I-M) + eps I) w = M rhs for a BATCH of systems
-    in one fused Pallas program (matrices stay VMEM-resident across all
-    iterations).
-
-    Sigma: (C, K, K); mask/rhs: (C, K).  Returns w (C, K) with masked
-    slots zeroed.  Semantics identical to vmapped
-    ``kriging.masked_cg_solve``.
-    """
-    from jax.experimental import pallas as pl
-
-    C, K = mask.shape
-    m = mask
-    eps = jnp.asarray(eps)
-    if eps.ndim:                      # per-chain (C,) -> broadcast over K
-        eps = eps[..., None]
-    Sm = (Sigma * m[:, :, None] * m[:, None, :]
-          + jnp.eye(K, dtype=Sigma.dtype)
-          * (eps + (1.0 - m))[:, None, :])
-    b = (m * rhs)[..., None]                              # (C, K, 1)
-
-    # one grid program per chain, (1, K, K) blocks: Mosaic SIGABRTs on
-    # rank-3 elementwise/reduce patterns with a leading batch > 1 (probed
-    # 2026-08-17: C=1 compiles, C=8 crashes the compiler), so the batch
-    # runs as a pipelined grid instead of one big program
-    out = pl.pallas_call(
-        functools.partial(_cg_kernel, n_iters),
-        grid=(C,),
-        in_specs=[
-            pl.BlockSpec((1, K, K), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, K, 1), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, K, 1), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((C, K, 1), jnp.float32),
-        interpret=interpret,
-    )(Sm.astype(jnp.float32), b.astype(jnp.float32))
-    return out[..., 0] * m

@@ -560,6 +560,22 @@ class TestKNearestPacked:
         l_lanes = run_with("lanesinterp")
         np.testing.assert_allclose(l_def, l_lanes, rtol=2e-4, atol=2e-2)
 
+    def test_gate_nomix_runs_finite(self, monkeypatch):
+        """The ``nomix`` surgery gate (constant S_cc, isolates the mixture
+        evaluation's transcendental cost) must produce a runnable step with
+        finite trajectories — it is a measurement lie, not a sampler, so
+        only well-formedness is asserted."""
+        p = make_synthetic_problem(H=48, W=48)
+        monkeypatch.setenv("MCMC_TPU_SGS_SURGERY", "nomix")
+        from mcmc_tpu.parallel import MultiChainSampler
+
+        c = build_sgs_chain(p)
+        sampler = MultiChainSampler(c, n_chains=3)
+        states = sampler.init(seeds=0)
+        states, tr = sampler.run_segment(states, 20)
+        assert np.all(np.isfinite(np.asarray(tr["loss"])))
+        assert np.all(np.isfinite(np.asarray(states.fields)))
+
     def test_gate_sorttopk_same_chain_statistics(self, monkeypatch):
         """The production chain run must be statistically indistinguishable
         under either selection path (same set => same proposal law; only

@@ -177,29 +177,6 @@ class TestMaskedSolvers:
         np.testing.assert_allclose(w_cg, w_np, rtol=1e-3, atol=1e-3)
         assert np.all(w_direct[mask == 0] == 0.0)
 
-    def test_fused_pallas_cg_matches_numpy(self, rng):
-        """ops/cg_kernel.batched_masked_cg (whole CG loop in one Pallas
-        program, interpret mode here) == NumPy subsystem solve."""
-        from mcmc_tpu.ops.cg_kernel import batched_masked_cg
-
-        C, K, eps = 5, 48, 1e-3
-        A = rng.normal(size=(C, K, K))
-        Sigma = (A @ np.swapaxes(A, -1, -2) / K
-                 + np.eye(K)).astype(np.float32)
-        mask = (rng.random((C, K)) < 0.8).astype(np.float32)
-        mask[:, 0] = 1.0
-        rhs = rng.normal(size=(C, K)).astype(np.float32)
-        w = np.asarray(batched_masked_cg(
-            jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs),
-            jnp.float32(eps), 64, interpret=True))
-        for c in range(C):
-            idx = np.where(mask[c] > 0)[0]
-            sub = Sigma[c][np.ix_(idx, idx)] + eps * np.eye(len(idx))
-            np.testing.assert_allclose(
-                w[c, idx], np.linalg.solve(sub, rhs[c, idx]),
-                rtol=1e-3, atol=1e-3)
-        assert np.all(w[mask == 0] == 0.0)
-
     def test_lanes_cg_matches_numpy_and_xla(self, rng):
         """ops/cg_kernel.lanes_masked_cg (whole-batch CG, batch-in-lanes 2D
         layout, interpret mode here) == NumPy subsystem solve, and ==
