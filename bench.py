@@ -119,14 +119,51 @@ def measure_cpu_baseline(p, chain, n_iter=150):
     return per_chain * cores, per_chain
 
 
+# split-half ESS/s agreement required before an ESS figure is reported
+# without a flag (VERDICT r4 next-#5: the r03->r04 headline ESS swung ±30%
+# at identical config — un-error-barred ESS cannot detect regressions)
+ESS_SPREAD_TARGET = 0.10
+
+
+def _loss_diagnostics(loss_trace, dt):
+    """ESS(loss)/sec with a split-half spread + rank-normalized R-hat.
+
+    Computed on the HOST CPU backend via jax.default_device (VERDICT r4
+    next-#5/#6): the estimators are ~40 small jnp ops each, and eager
+    dispatch through the tunneled axon backend costs seconds PER OP; the
+    cpu device leaves the TPU work untouched.
+
+    Split-half spread: the timed window is halved in time and each half's
+    ESS/s estimated over dt/2 (throughput through the window is uniform to
+    measurement noise); spread = |r1 - r2| / mean(r1, r2).  R-hat is the
+    rank-normalized Vehtari variant (parallel/diagnostics.py) — the
+    convergence statistic BASELINE.md demands next to raw throughput
+    (reference analog: the eyeball chain comparison in
+    visualization.ipynb).
+    """
+    import jax
+    from mcmc_tpu.parallel import diagnostics as diag
+
+    loss_trace = np.ascontiguousarray(loss_trace, np.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        n = loss_trace.shape[1]
+        h = n // 2
+        ess = float(np.asarray(diag.ess(loss_trace)))
+        e1 = float(np.asarray(diag.ess(loss_trace[:, :h])))
+        e2 = float(np.asarray(diag.ess(loss_trace[:, h:2 * h])))
+        rhat = float(np.asarray(diag.rank_normalized_rhat(loss_trace)))
+    r1, r2 = e1 / (dt / 2.0), e2 / (dt / 2.0)
+    spread = abs(r1 - r2) / max((r1 + r2) / 2.0, 1e-9)
+    return dict(ess=ess, ess_rate=ess / dt, ess_spread=spread, rhat=rhat)
+
+
 def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
-                max_iters=6000, label="TPU", burn_iters=0):
+                max_iters=6000, label="TPU", burn_iters=0, max_extend=2):
     # segment size amortizes the tunneled host<->device roundtrip between
     # segments (~tens of ms each on axon; measured 2026-08-16: segment=100
     # cost ~0.5 ms/iter of pure dispatch overhead at 256 chains)
     import jax
     from mcmc_tpu.parallel import MultiChainSampler
-    from mcmc_tpu.parallel import diagnostics as diag
 
     log(f"[bench] devices: {jax.devices()}")
     sampler = MultiChainSampler(chain, n_chains=n_chains)
@@ -162,20 +199,39 @@ def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
         done += segment
         accs.append(step_np.mean())
     dt = time.time() - t0
+    # ESS/sec of the loss trace over the timed window (chains, time); the
+    # window auto-extends (doubling, up to max_extend times) until the
+    # split-half ESS/s spread is <= ESS_SPREAD_TARGET so the reported
+    # figure is regression-grade; *_ess_spread_ok says whether it got there
+    d = _loss_diagnostics(np.concatenate(losses, axis=0).T, dt)
+    extensions = 0
+    while d["ess_spread"] > ESS_SPREAD_TARGET and extensions < max_extend:
+        extensions += 1
+        target = 2 * done
+        log(f"[bench] {label}: ESS spread {d['ess_spread']:.2f} > "
+            f"{ESS_SPREAD_TARGET} — extending window to {target} iters")
+        t1 = time.time()
+        while done < target:
+            states, traces = sampler.run_segment(states, segment)
+            step_np = np.asarray(traces["step"])
+            losses.append(np.asarray(traces["loss"]))
+            done += segment
+            accs.append(step_np.mean())
+        dt += time.time() - t1
+        d = _loss_diagnostics(np.concatenate(losses, axis=0).T, dt)
     rate = done * n_chains / dt
+    spread_ok = d["ess_spread"] <= ESS_SPREAD_TARGET
     loss = np.asarray(states.loss_mc)
-    # ESS/sec of the loss trace over the timed window (chains, time);
-    # transient-dominated, so a conservative lower bound of sampling power
-    loss_trace = np.concatenate(losses, axis=0).T
-    ess = float(np.asarray(diag.ess(loss_trace)))
-    ess_rate = ess / dt
     log(f"[bench] {label}: {done} iters x {n_chains} chains in {dt:.2f}s "
         f"-> {rate:,.0f} chain-it/s | acc {np.mean(accs):.3f} | "
-        f"ESS(loss) {ess:.1f} -> {ess_rate:.1f} ESS/s | "
-        f"loss finite: {np.isfinite(loss).all()}")
+        f"ESS(loss) {d['ess']:.1f} -> {d['ess_rate']:.1f} ESS/s "
+        f"(spread {d['ess_spread']:.2f}, ok={spread_ok}) | "
+        f"rhat {d['rhat']:.4f} | loss finite: {np.isfinite(loss).all()}")
     if not np.isfinite(loss).all():
         raise RuntimeError("non-finite loss in benchmark run")
-    return rate, ess_rate, float(np.mean(accs))
+    return dict(rate=rate, ess_rate=d["ess_rate"], acc=float(np.mean(accs)),
+                ess=d["ess"], ess_spread=d["ess_spread"],
+                ess_spread_ok=spread_ok, rhat=d["rhat"], n_iters=done)
 
 
 def make_sgs_chain(p):
@@ -384,6 +440,10 @@ def _device_watchdog(timeout_s=240, attempts=2, env=None):
 # independent-chain count buys ESS until it plateaus at 512; scaling table
 # in NOTES_ROUND3.md)
 N_CHAINS_SGS = 512
+# swept each bench run for the SGS ESS/sec optimum (the r4 step speedup
+# moved the chain-count/ESS tradeoff; VERDICT r4 next-#4) — 512 stays the
+# round-comparable headline point
+SGS_SWEEP_CHAINS = (256, 512, 1024)
 # 1536 chains (4 chunked launches of 384): the ESS/sec-optimal CRF
 # operating point — trades ~3% aggregate it/s vs 768 for ~2.6x ESS/s
 # (NOTES_ROUND3.md chunked-dispatch table). BASELINE.md's north-star is
@@ -409,11 +469,10 @@ def main():
     # segment=2000: per-segment trace transfers cost ~50 ms on the
     # tunneled link; 500-iter segments underreport by ~10% (a 200k-iter
     # soak at segment 2000 sustains 324k it/s, 2026-08-17)
-    tpu_rate, ess_rate, acc = measure_tpu(chain, label="TPU CRF", segment=2000,
-                                        min_seconds=8.0, max_iters=12000,
-                                        burn_iters=8000)
+    crf = measure_tpu(chain, label="TPU CRF", segment=2000,
+                      min_seconds=8.0, max_iters=12000, burn_iters=8000)
     # ESS-optimal operating point (same problem, 4x384 chunked launches)
-    ess_opt_rate, ess_opt_ess, ess_opt_acc = measure_tpu(
+    ess_opt = measure_tpu(
         chain, n_chains=N_CHAINS_ESS, label="TPU CRF ess-opt", segment=2000,
         min_seconds=8.0, max_iters=12000, burn_iters=8000)
     # on-device fused-vs-XLA numerical-equivalence attestation
@@ -423,57 +482,95 @@ def main():
     p_prod = build_problem(H=GRID_PROD, W=GRID_PROD)
     chain_prod = make_chain(p_prod)
     chain_prod.set_crf_data_weight()
-    prod_rate, prod_ess, prod_acc = measure_tpu(
+    prod = measure_tpu(
         chain_prod, n_chains=N_CHAINS_PROD, label="TPU CRF 900x900 autopad",
         segment=2000, min_seconds=8.0, max_iters=8000, burn_iters=4000)
 
     sgs_chain = make_sgs_chain(p)
     sgs_cpu_farm_fresh, sgs_cpu_fresh = measure_cpu_sgs_baseline(p, sgs_chain)
     sgs_contended = _twin_drift(sgs_cpu_fresh, pin_sgs, "SGS")
-    sgs_rate, sgs_ess_rate, sgs_acc = measure_tpu(
-        sgs_chain, n_chains=N_CHAINS_SGS, segment=400, min_seconds=6.0,
-        max_iters=2400, label="TPU SGS", burn_iters=2000)
+    # SGS chain-count sweep for the ESS-optimal operating point (VERDICT r4
+    # next-#4: the r4 3.2x step speedup moved the chain-count/ESS tradeoff
+    # and the old 512-chain pin was never re-swept); the 512 point is also
+    # the round-comparable headline
+    sgs_points = {}
+    for nc in SGS_SWEEP_CHAINS:
+        headline = nc == N_CHAINS_SGS
+        sgs_points[nc] = measure_tpu(
+            sgs_chain, n_chains=nc, segment=400,
+            min_seconds=6.0 if headline else 4.0,
+            max_iters=2400 if headline else 1600,
+            label=f"TPU SGS {nc}ch", burn_iters=2000 if headline else 1200)
+    sgs = sgs_points[N_CHAINS_SGS]
+    sgs_opt_nc = max(sgs_points, key=lambda nc: sgs_points[nc]["ess_rate"])
+    sgs_opt = sgs_points[sgs_opt_nc]
 
     result = {
         "metric": f"chain_iters_per_sec_{N_CHAINS}chains_{GRID}x{GRID}",
-        "value": round(tpu_rate, 1),
+        "value": round(crf["rate"], 1),
         "unit": "chain-iterations/sec",
         # headline ratio vs the PINNED single-core twin x physical cores —
         # round-comparable by construction (the fresh twin only drift-checks)
-        "vs_baseline": round(tpu_rate / (pin_crf * cores), 2),
+        "vs_baseline": round(crf["rate"] / (pin_crf * cores), 2),
         "cpu_cores": cores,
         "cpu_twin_pinned_it_per_sec_single_core": pin_crf,
         "cpu_twin_fresh_it_per_sec_single_core": round(cpu_fresh, 2),
-        "vs_baseline_fresh_twin": round(tpu_rate / cpu_farm_fresh, 2),
+        "vs_baseline_fresh_twin": round(crf["rate"] / cpu_farm_fresh, 2),
         "cpu_twin_contended": crf_contended,
-        "ess_loss_per_sec": round(ess_rate, 2),
-        "acceptance": round(acc, 3),
+        # every ESS/s figure carries its split-half spread + an ok flag
+        # (<= ESS_SPREAD_TARGET after window auto-extension) and every
+        # family a rank-normalized R-hat of the loss trace — speed AND
+        # convergence artifacts in one JSON (VERDICT r4 next-#5/#6)
+        "ess_loss_per_sec": round(crf["ess_rate"], 2),
+        "ess_spread": round(crf["ess_spread"], 3),
+        "ess_spread_ok": crf["ess_spread_ok"],
+        "rhat_loss": round(crf["rhat"], 4),
+        "acceptance": round(crf["acc"], 3),
         # ESS/sec-optimal CRF operating point (BASELINE.md north-star)
         "ess_optimal_n_chains": N_CHAINS_ESS,
-        "ess_optimal_chain_iters_per_sec": round(ess_opt_rate, 1),
-        "ess_optimal_ess_loss_per_sec": round(ess_opt_ess, 2),
-        "ess_optimal_acceptance": round(ess_opt_acc, 3),
+        "ess_optimal_chain_iters_per_sec": round(ess_opt["rate"], 1),
+        "ess_optimal_ess_loss_per_sec": round(ess_opt["ess_rate"], 2),
+        "ess_optimal_ess_spread": round(ess_opt["ess_spread"], 3),
+        "ess_optimal_ess_spread_ok": ess_opt["ess_spread_ok"],
+        "ess_optimal_acceptance": round(ess_opt["acc"], 3),
         # fused Pallas kernel vs vmapped XLA step on hardware: single-step
         # accepts identical + ulp-scale numeric deltas + borderline-MH flip
         # rate < 0.1% over a long run (see check_fused_parity docstring)
         "fused_parity": fused_parity,
         "fused_mh_flip_rate": round(fused_flip_rate, 6),
         # reference production grid shape (900x900 -> auto-pad 904x1024)
-        "unaligned_900x900_chain_iters_per_sec": round(prod_rate, 1),
+        "unaligned_900x900_chain_iters_per_sec": round(prod["rate"], 1),
         "unaligned_900x900_n_chains": N_CHAINS_PROD,
-        "unaligned_900x900_ess_loss_per_sec": round(prod_ess, 2),
-        "unaligned_900x900_acceptance": round(prod_acc, 3),
+        "unaligned_900x900_ess_loss_per_sec": round(prod["ess_rate"], 2),
+        "unaligned_900x900_ess_spread": round(prod["ess_spread"], 3),
+        "unaligned_900x900_ess_spread_ok": prod["ess_spread_ok"],
+        "unaligned_900x900_acceptance": round(prod["acc"], 3),
         # small-scale (SGS) chain family, same keys
-        "sgs_chain_iters_per_sec": round(sgs_rate, 1),
-        "sgs_vs_baseline": round(sgs_rate / (pin_sgs * cores), 2),
+        "sgs_chain_iters_per_sec": round(sgs["rate"], 1),
+        "sgs_vs_baseline": round(sgs["rate"] / (pin_sgs * cores), 2),
         "sgs_cpu_twin_pinned_it_per_sec_single_core": pin_sgs,
         "sgs_cpu_twin_fresh_it_per_sec_single_core": round(sgs_cpu_fresh, 3),
         "sgs_vs_baseline_fresh_twin": round(
-            sgs_rate / max(sgs_cpu_farm_fresh, 1e-9), 2),
+            sgs["rate"] / max(sgs_cpu_farm_fresh, 1e-9), 2),
         "sgs_cpu_twin_contended": sgs_contended,
-        "sgs_ess_loss_per_sec": round(sgs_ess_rate, 2),
-        "sgs_acceptance": round(sgs_acc, 3),
+        "sgs_ess_loss_per_sec": round(sgs["ess_rate"], 2),
+        "sgs_ess_spread": round(sgs["ess_spread"], 3),
+        "sgs_ess_spread_ok": sgs["ess_spread_ok"],
+        "sgs_rhat_loss": round(sgs["rhat"], 4),
+        "sgs_acceptance": round(sgs["acc"], 3),
         "sgs_n_chains": N_CHAINS_SGS,
+        # SGS ESS-optimal operating point from the chain-count sweep
+        # (VERDICT r4 next-#4; reference analog: farm sizing,
+        # largeScaleChain_multiprocessing.py:461-464)
+        "sgs_ess_optimal_n_chains": sgs_opt_nc,
+        "sgs_ess_optimal_chain_iters_per_sec": round(sgs_opt["rate"], 1),
+        "sgs_ess_optimal_ess_loss_per_sec": round(sgs_opt["ess_rate"], 2),
+        "sgs_ess_optimal_ess_spread": round(sgs_opt["ess_spread"], 3),
+        "sgs_ess_optimal_ess_spread_ok": sgs_opt["ess_spread_ok"],
+        "sgs_ess_optimal_acceptance": round(sgs_opt["acc"], 3),
+        "sgs_sweep_chains": list(SGS_SWEEP_CHAINS),
+        "sgs_sweep_ess_loss_per_sec": [
+            round(sgs_points[nc]["ess_rate"], 2) for nc in SGS_SWEEP_CHAINS],
     }
     print(json.dumps(result))
 
