@@ -171,6 +171,17 @@ def main():
           bool(np.all((ratio > 1 / 3) & (ratio < 3))),
           f"(ratio range {ratio.min():.2f}-{ratio.max():.2f})")
 
+    # machine-readable summary so the round-gating smoke test
+    # (tests/test_convergence_smoke.py) can assert on the statistics
+    # directly instead of trusting the in-example PASS verdicts
+    import json
+    print("[validate] STATS " + json.dumps({
+        "crf_acceptance": acc, "sgs_acceptance": acc2,
+        "gap_initial": gap0, "gap_final": gap1,
+        "rmse_initial": rmse0, "rmse_posterior_mean": rmse1,
+        "variogram_ratio_min": float(ratio.min()),
+        "variogram_ratio_max": float(ratio.max()),
+    }))
     print(f"[validate] {'ALL PASS' if not failures else 'FAILURES: ' + str(failures)}")
     sys.exit(1 if failures else 0)
 

@@ -130,6 +130,14 @@ def main():
         else:
             raise AssertionError("mismatched resume should have raised")
 
+        # machine-readable summary for tests/test_convergence_smoke.py
+        import json
+        print("[07] STATS " + json.dumps({
+            "loss_initial": float(loss[:, 0].mean()),
+            "loss_final": float(loss[:, -1].mean()),
+            "acceptance": float(hist["step"][:, 1:].mean()),
+        }))
+
     print("[07] PASS")
 
 
