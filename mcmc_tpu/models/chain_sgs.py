@@ -101,6 +101,12 @@ class SGSStatic:
     # Mg/Me = number of mixture terms, 0/0 => stamp-gather fallback
     Mg: int = 0
     Me: int = 0
+    # the same mixture constants as STATIC f32-rounded Python floats
+    # ((ag...), (bg...), (ae...), (be...), (q0, q1, q2)) so the fused
+    # build+solve Pallas kernel (ops/cg_kernel.lanes_mix_masked_cg) can
+    # closure-bake them; () when the mixture is unused.  Kept coherent
+    # with SGSConsts.mix_* by construction (both from build()'s numpy fit).
+    mix: tuple = ()
 
 
 @dataclasses.dataclass
@@ -316,6 +322,44 @@ def sgs_init_state(bed_detrended, key, consts: SGSConsts, z0=None,
                     accepted=jnp.int32(0))
 
 
+def halfspec_noise(noise, NE: int):
+    """Complex (NE, NE//2+1) noise distributed EXACTLY as ``rfft2(e)`` for
+    e iid standard normal (NE, NE), built from NE² normals — the draw's
+    forward FFT done analytically.
+
+    Distribution of rfft2 of iid N(0,1) (NE even):
+      - interior columns 0 < kx < NE/2: Re, Im iid N(0, NE²/2);
+      - edge columns kx ∈ {0, NE/2}: rows ky and NE-ky are CONJUGATE
+        pairs, each with Re, Im ~ N(0, NE²/2);
+      - self-conjugate bins (ky ∈ {0, NE/2} on edge columns): real,
+        N(0, NE²).
+    Parseval makes the normal count come out to exactly NE² — the same
+    budget as the forward-FFT form.  irfft2 of this times a real
+    symmetric half-spectrum reproduces the circulant-embedding draw's
+    covariance exactly (validated empirically:
+    tests/test_chain_sgs.py::test_halfspec_noise_is_white).
+    """
+    H = NE // 2
+    sig = jnp.float32(NE * np.sqrt(0.5))
+    n_int = NE * (H - 1) * 2
+    vi = noise[:n_int].reshape(NE, H - 1, 2)
+    interior = (vi[..., 0] + 1j * vi[..., 1]) * sig
+
+    def edge_col(v):                    # (NE,) normals -> hermitian column
+        up = (v[2::2] + 1j * v[3::2]) * sig          # rows 1 .. H-1
+        return jnp.concatenate([
+            (v[0] * NE)[None].astype(jnp.complex64),     # ky = 0 (real)
+            up,
+            (v[1] * NE)[None].astype(jnp.complex64),     # ky = H (real)
+            jnp.conj(up)[::-1],                          # ky = NE-1 .. H+1
+        ])
+
+    col0 = edge_col(noise[n_int:n_int + NE])
+    colH = edge_col(noise[n_int + NE:n_int + 2 * NE])
+    return jnp.concatenate(
+        [col0[:, None], interior, colH[:, None]], axis=1)
+
+
 def k_nearest_packed(candidate, rd, cd, K):
     """Exact K-nearest conditioning selection WITHOUT a sort.
 
@@ -500,17 +544,25 @@ def make_sgs_stages(static: SGSStatic):
         # spectrum clamping make the proposal approximately (not bitwise)
         # the conditional prior — the same approximation class as the
         # reference's octant-limited sequential SGS.
-        # draw from REAL white noise e: z = irfft2(rfft2(e) * sqrt(E)) has
-        # covariance exactly = stamp (E real symmetric, so the half-spectrum
-        # multiply is valid) — NE² normals per step instead of the former
-        # complex-noise path's 2·NE² (whose imaginary output field was an
-        # unused second draw)
+        # draw via the half-spectrum: halfspec_noise builds, from NE²
+        # normals, complex noise distributed EXACTLY as rfft2 of an iid
+        # (NE, NE) field (Hermitian edge columns, real self-conjugate
+        # bins) — so z = irfft2(Z * sqrt(E)) has covariance exactly =
+        # stamp while paying ONE FFT per draw.  The former forward-FFT
+        # form irfft2(rfft2(e) * sqrt(E)) (gate "fwdfft") is the same
+        # distribution at twice the FFT cost; the draw phase measured
+        # 0.87 ms of the 3.54 ms step-batch at 512 chains (NOTES_ROUND5
+        # §2c), the largest single phase after the r5 levers.
         if "nodraw" in _cut:  # surgery: white noise instead of the FFT draw
             z_u = noise[:SB * SB].reshape(SB, SB) + consts.mean_z
-        else:
+        elif "fwdfft" in _cut:  # surgery: the pre-r5 forward-FFT draw
             e = noise[:NE * NE].reshape(NE, NE)
             z_big = jnp.fft.irfft2(jnp.fft.rfft2(e) * consts.embed_sqrt,
                                    s=(NE, NE))
+            z_u = z_big[:SB, :SB] + consts.mean_z
+        else:
+            Z = halfspec_noise(noise[:NE * NE], NE)
+            z_big = jnp.fft.irfft2(Z * consts.embed_sqrt, s=(NE, NE))
             z_u = z_big[:SB, :SB] + consts.mean_z
         # distance (meters) from each window cell to the nearest block cell;
         # in-block data cells are at distance 0 and always selected first
@@ -585,12 +637,12 @@ def make_sgs_stages(static: SGSStatic):
             djf = jaf[:, None] - jaf[None, :]
             h2 = (consts.qcoef[0] * djf * djf + consts.qcoef[1] * djf * dif
                   + consts.qcoef[2] * dif * dif)
-            hn = jnp.sqrt(h2)
-            S_cc = jnp.zeros((static.K, static.K), jnp.float32)
-            for mm in range(static.Mg):
-                S_cc = S_cc + consts.mix_ag[mm] * jnp.exp(-consts.mix_bg[mm] * h2)
-            for mm in range(static.Me):
-                S_cc = S_cc + consts.mix_ae[mm] * jnp.exp(-consts.mix_be[mm] * hn)
+            # static coefficients + dyadic-chain evaluation: one exp per
+            # mixture family instead of one per term (ops/covariance.
+            # eval_mixture_static; same values as the former per-term
+            # consts.mix_* loop to f32 roundoff)
+            from ..ops.covariance import eval_mixture_static
+            S_cc = eval_mixture_static(static.mix, h2)
         else:
             di = jnp.mod(ia[:, None] - ia[None, :], NE)
             dj = jnp.mod(ja[:, None] - ja[None, :], NE)
@@ -601,7 +653,11 @@ def make_sgs_stages(static: SGSStatic):
                pack, sel, bed_w, res_old_w, resampled_w, zbed_w,
                surf_w, velx_w, vely_w, dhdt_w, smb_w, trend_w, grounded_f,
                mcf_w, cx, cy, bsx, bsy)
-        return pre, (S_cc, m_sel, rhs_p, eps)
+        # iaf/jaf ride along for the fused build+solve kernel (which
+        # rebuilds S_cc in-kernel); when a solver consumes S_cc instead,
+        # XLA dead-code-eliminates the unused pair — and vice versa, the
+        # whole XLA mixture evaluation vanishes under the fused kernel
+        return pre, (S_cc, m_sel, rhs_p, eps, iaf, jaf)
 
     def solve_one(S_cc, m_sel, rhs_p, eps):
         """Per-chain packed conditioning solve (XLA path)."""
@@ -803,7 +859,7 @@ def make_sgs_kernel(static: SGSStatic):
 
     def mh_update(consts: SGSConsts, state: SGSState, cx, cy, bsx, bsy,
                   noise, drop_u, u, key):
-        pre, (S_cc, m_sel, rhs_p, eps) = prepare(
+        pre, (S_cc, m_sel, rhs_p, eps, _, _) = prepare(
             consts, state, cx, cy, bsx, bsy, noise, drop_u)
         w_p = solve_one(S_cc, m_sel, rhs_p, eps)
         return finalize(consts, state, pre, w_p, noise, u, key)
@@ -857,11 +913,21 @@ def make_sgs_step_batched(static: SGSStatic):
     _cut = set(filter(None, _os.environ.get(
         "MCMC_TPU_SGS_SURGERY", "").split(",")))
     prepare, solve_one, finalize = make_sgs_stages(static)
-    from ..ops.cg_kernel import lanes_cg_available, lanes_masked_cg
+    from ..ops.cg_kernel import (lanes_cg_available, lanes_masked_cg,
+                                 lanes_mix_masked_cg)
     lanes_interp = "lanesinterp" in _cut
     use_lanes = ((lanes_interp
                   or ("nolanescg" not in _cut and lanes_cg_available()))
                  and not ({"nocg", "cholsolve"} & _cut))
+    # fused build+solve: S_cc evaluated in-kernel from the packed window
+    # coordinates — removes the XLA mixture phase (0.733 ms = 20% of the
+    # post-lanes step at 512 chains, NOTES_ROUND5 §2) and shrinks the
+    # solve's HBM inputs ~100x.  Gate "nomixcg" restores the S_cc-input
+    # lanes kernel; the surgery gates that alter S_cc ("nomix",
+    # "stampgather") force the S_cc path so they keep measuring what they
+    # claim to.
+    use_mixlanes = (use_lanes and len(static.mix) == 5
+                    and not ({"nomixcg", "nomix", "stampgather"} & _cut))
     from ..ops.lut_kernel import LANES, lut_interp, lut_kernel_available
     from ..ops.sgs_window_kernel import (make_window_extract,
                                          make_window_writeback,
@@ -889,14 +955,18 @@ def make_sgs_step_batched(static: SGSStatic):
         if use_pwin:
             *_, sxv, syv = jax.vmap(finalize.window_start)(cx, cy, bsx, bsy)
             windows = extract_fn(consts.stacked, states.fields, sxv, syv)
-            pre, (S_cc, m_sel, rhs_p, eps) = jax.vmap(
+            pre, (S_cc, m_sel, rhs_p, eps, iaf, jaf) = jax.vmap(
                 prepare, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))(
                     consts, states, cx, cy, bsx, bsy, noise, drop_u, windows)
         else:
-            pre, (S_cc, m_sel, rhs_p, eps) = jax.vmap(
+            pre, (S_cc, m_sel, rhs_p, eps, iaf, jaf) = jax.vmap(
                 prepare, in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
                     consts, states, cx, cy, bsx, bsy, noise, drop_u)
-        if use_lanes:
+        if use_mixlanes:
+            w_p = lanes_mix_masked_cg(iaf, jaf, m_sel, rhs_p, eps,
+                                      static.mix, static.cg_iters,
+                                      interpret=lanes_interp)
+        elif use_lanes:
             w_p = lanes_masked_cg(S_cc, m_sel, rhs_p, eps,
                                   static.cg_iters, interpret=lanes_interp)
         else:
@@ -1276,10 +1346,15 @@ class ChainSGS:
             float(np.sqrt(qcoef[0] * dj * dj + qcoef[1] * dj * di
                           + qcoef[2] * di * di))
             for dj, di in ((S1, S1), (S1, -S1)))
-        mix_ag, mix_bg, mix_ae, mix_be, mix_err = fit_cov_mixture(
-            spec, self.vario.sill, self.vario.nugget, h_max * 1.02)
+        # prune the fit to the fewest mixture terms inside the accept
+        # tolerance: device exp time is ~0.09 ms/step-batch PER TERM at
+        # the 512-chain bench shape (NOTES_ROUND5 §2c)
         amp = self.vario.sill - self.vario.nugget
-        if mix_err > 1e-3 * max(abs(amp), 1e-6):
+        mix_tol = 1e-3 * max(abs(amp), 1e-6)
+        mix_ag, mix_bg, mix_ae, mix_be, mix_err = fit_cov_mixture(
+            spec, self.vario.sill, self.vario.nugget, h_max * 1.02,
+            target_err=mix_tol)
+        if mix_err > mix_tol:
             mix_ag = mix_bg = mix_ae = mix_be = np.zeros((0,), np.float32)
         sample_ij = self._sample_ij()
         dropout = bool(self.sgs_params.rand_dropout_on
@@ -1296,6 +1371,14 @@ class ChainSGS:
                  or (spec.vtype == "matern" and (spec.s or 0.5) <= 0.5))
         budget = 32 if rough else (48 if spec.vtype == "spherical" else 64)
         cg_iters = int(getattr(self, "cg_iters", 0)) or min(budget, K + 16)
+        mix_static = ()
+        if mix_ag.shape[0] + mix_ae.shape[0] > 0:
+            mix_static = (
+                tuple(float(v) for v in np.asarray(mix_ag, np.float32)),
+                tuple(float(v) for v in np.asarray(mix_bg, np.float32)),
+                tuple(float(v) for v in np.asarray(mix_ae, np.float32)),
+                tuple(float(v) for v in np.asarray(mix_be, np.float32)),
+                tuple(float(v) for v in np.asarray(qcoef, np.float32)))
         static = SGSStatic(
             H=H, W=W, SB=SB, BMX=BMX, BMY=BMY, M=M, K=K,
             n_region=int(region.shape[0]), P=int(sample_ij.shape[0]),
@@ -1303,7 +1386,8 @@ class ChainSGS:
             detrend=self.detrend_map, dropout=dropout,
             has_nugget=self.vario.nugget > 0,
             cg_iters=cg_iters, NE=NE, NA=NA,
-            Mg=int(mix_ag.shape[0]), Me=int(mix_ae.shape[0]))
+            Mg=int(mix_ag.shape[0]), Me=int(mix_ae.shape[0]),
+            mix=mix_static)
         stacked = np.stack([
             self.surf, self.velx, self.vely, self.dhdt, self.smb,
             np.asarray(trend, np.float32),

@@ -43,22 +43,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _cg_lanes_kernel(n_iters: int, K: int, a_ref, b_ref, out_ref):
-    """Whole-batch CG with the BATCH in the 128-lane dimension.
-
-    The rank-3 whole-batch form crashes Mosaic (module docstring); this is
-    the same fusion in 2D tiles only — the NOTES_ROUND4 §7 lesson (lane
-    padding applies to the minor dim, so put the big axis there) applied to
-    VMEM layouts: a_ref is the masked system matrix TRANSPOSED to
-    (K*K, B) with batch in lanes, b_ref/out_ref are (K, B).  The matvec
-    q[i] = sum_j A[i,j] p[j] runs as K static contiguous sublane blocks —
-    A is SYMMETRIC, so the j-major block A[j*K:(j+1)*K] is column j of
-    every row — each a (K, B) tile FMA'd against the broadcast sublane row
-    p[j].  Everything is straight-line VPU code over (K, B) tiles; no
-    relayouts, no rank-3, one program for the whole batch.
-    """
-    A = a_ref[...]                    # (K*K, B), j-major blocks (symmetry)
-    b = b_ref[...]                    # (K, B)
+def _cg_core(A, b, n_iters: int, K: int):
+    """Shared fixed-iteration CG over (K, B) tiles; A is (K*K, B) j-major
+    blocks of a symmetric system (block j = column j of every row)."""
 
     def matvec(v):                    # (K, B) -> (K, B)
         q = A[0:K, :] * v[0:1, :]
@@ -83,7 +70,78 @@ def _cg_lanes_kernel(n_iters: int, K: int, a_ref, b_ref, out_ref):
         return (x, r, p, rs_new)
 
     x, _, _, _ = jax.lax.fori_loop(0, n_iters, body, (x, r, p, rs))
-    out_ref[...] = x
+    return x
+
+
+def _cg_lanes_kernel(n_iters: int, K: int, a_ref, b_ref, out_ref):
+    """Whole-batch CG with the BATCH in the 128-lane dimension.
+
+    The rank-3 whole-batch form crashes Mosaic (module docstring); this is
+    the same fusion in 2D tiles only — the NOTES_ROUND4 §7 lesson (lane
+    padding applies to the minor dim, so put the big axis there) applied to
+    VMEM layouts: a_ref is the masked system matrix TRANSPOSED to
+    (K*K, B) with batch in lanes, b_ref/out_ref are (K, B).  The matvec
+    q[i] = sum_j A[i,j] p[j] runs as K static contiguous sublane blocks —
+    A is SYMMETRIC, so the j-major block A[j*K:(j+1)*K] is column j of
+    every row — each a (K, B) tile FMA'd against the broadcast sublane row
+    p[j].  Everything is straight-line VPU code over (K, B) tiles; no
+    relayouts, no rank-3, one program for the whole batch.
+    """
+    A = a_ref[...]                    # (K*K, B), j-major blocks (symmetry)
+    b = b_ref[...]                    # (K, B)
+    out_ref[...] = _cg_core(A, b, n_iters, K)
+
+
+def _cg_lanes_mix_kernel(n_iters: int, K: int, mix, ia_ref, ja_ref, m_ref,
+                         b_ref, e_ref, out_ref, a_ref):
+    """Lanes CG with the masked MIXTURE system built IN-KERNEL.
+
+    The analytic S_CC mixture (models/chain_sgs prepare, reference analog
+    MCMC.py:158-161 via _krige.py) is pure elementwise math on the packed
+    window coordinates, but evaluated in XLA it streams ~16 (C, K, K)
+    arrays through HBM (8 exp terms, each read+write 4.7 MB at the bench
+    shape) and measured 0.733 ms/step-batch of the post-lanes SGS step —
+    20% — with the separate transpose/pad of S_cc on top (NOTES_ROUND5
+    §2).  Built here instead, the program's inputs shrink from the
+    (K², B) matrix to five (K, B) tiles (~100x less traffic) and the
+    blocks are written once to VMEM scratch, then the CG runs as in
+    ``_cg_lanes_kernel``.
+
+    mix = ((ag...), (bg...), (ae...), (be...), (q0, q1, q2)) — STATIC
+    Python floats (SGSStatic.mix, f32-rounded at build): the coefficients
+    constant-fold into the unrolled block loop.
+    System built per block j (identical formula to the XLA path):
+      h2     = q0·dj² + q1·dj·di + q2·di²
+      S      = Σ ag·exp(-bg·h2) + Σ ae·exp(-be·√h2)
+      A[:,j] = S·m·m_j, then A[j,j] += eps + 1 - m_j  (= _masked_system)
+    Zero-padded lanes (ia=ja=m=b=0) build the identity system and stay
+    exactly zero through the solve.
+    """
+    from .covariance import eval_mixture_static
+
+    q0, q1, q2 = mix[4]
+    ia = ia_ref[...]                  # (K, B) f32 exact small ints
+    ja = ja_ref[...]
+    m = m_ref[...]                    # (K, B) 0/1
+    eps_row = e_ref[...]              # (1, B)
+    for j in range(K):
+        dif = ia - ia[j:j + 1, :]
+        djf = ja - ja[j:j + 1, :]
+        h2 = (jnp.float32(q0) * djf * djf + jnp.float32(q1) * djf * dif
+              + jnp.float32(q2) * dif * dif)
+        # one exp per mixture family via the dyadic squaring chain (same
+        # helper as the XLA prepare stage — pure elementwise jnp)
+        S = eval_mixture_static(mix, h2)
+        blk = S * m * m[j:j + 1, :]
+        # diagonal entry (i == j) gets + eps + 1 - m_j, folded into the
+        # block via a sublane-iota compare (a second (1, B) row store per
+        # block would serialize 48 tiny writes)
+        is_diag = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0) == j
+        blk = blk + jnp.where(is_diag, eps_row + (1.0 - m[j:j + 1, :]), 0.0)
+        a_ref[j * K:(j + 1) * K, :] = blk
+    A = a_ref[...]
+    b = m * b_ref[...]
+    out_ref[...] = _cg_core(A, b, n_iters, K)
 
 
 def _masked_system(Sigma, mask, eps):
@@ -99,6 +157,23 @@ def _masked_system(Sigma, mask, eps):
 
 
 LANES = 128  # TPU lane width: the batch dim is padded to a multiple
+
+
+def _lane_block(Cp: int, K: int) -> int:
+    """Lane-block size: the whole padded batch when it fits one program's
+    VMEM budget, else the LARGEST LANES-multiple divisor of Cp under it —
+    never straight to a 128-lane block, which would multiply sequential
+    grid programs each paying the full loop latency.  Live VMEM per
+    program is ~(K²+6K)·B·4 B for the S_cc-input kernel (A + b/out refs +
+    x/r/p/Ap iterates; 5.3 MB at K=48, B=512) and slightly more with the
+    in-kernel system build (the A scratch replaces the A input, plus five
+    (K, B) tiles)."""
+    fit = max(LANES, (32 << 20) // ((K * K + 6 * K) * 4) // LANES * LANES)
+    for nblk in range(Cp // LANES, 0, -1):
+        blk = nblk * LANES
+        if blk <= fit and Cp % blk == 0:
+            return blk
+    return LANES
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters", "interpret"))
@@ -129,15 +204,7 @@ def lanes_masked_cg(Sigma, mask, rhs, eps, n_iters: int = 64,
     b = (mask * rhs).astype(jnp.float32)
 
     Cp = -(-C // LANES) * LANES
-    # lane-block size: whole batch when it fits one program's VMEM budget,
-    # else the largest LANES-multiple divisor of Cp under the budget
-    fit = max(LANES, (32 << 20) // ((K * K + 6 * K) * 4) // LANES * LANES)
-    max_lanes = LANES
-    for nblk in range(Cp // LANES, 0, -1):
-        blk = nblk * LANES
-        if blk <= fit and Cp % blk == 0:
-            max_lanes = blk
-            break
+    max_lanes = _lane_block(Cp, K)
     St = jnp.zeros((K * K, Cp), jnp.float32).at[:, :C].set(
         Sm.reshape(C, K * K).T)
     bt = jnp.zeros((K, Cp), jnp.float32).at[:, :C].set(b.T)
@@ -153,6 +220,54 @@ def lanes_masked_cg(Sigma, mask, rhs, eps, n_iters: int = 64,
         out_shape=jax.ShapeDtypeStruct((K, Cp), jnp.float32),
         interpret=interpret,
     )(St, bt)
+    return out[:, :C].T * mask
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mix", "n_iters", "interpret"))
+def lanes_mix_masked_cg(iaf, jaf, mask, rhs, eps, mix, n_iters: int = 64,
+                        interpret: bool = False):
+    """Whole-batch fused CG with the masked analytic-mixture system built
+    in-kernel from the packed window coordinates (_cg_lanes_mix_kernel).
+
+    iaf/jaf: (C, K) f32 packed row/col window coordinates (exact small
+    ints); mask/rhs: (C, K); eps scalar or (C,); mix: SGSStatic.mix.
+    Returns w (C, K) with masked slots zeroed.  Same system as
+    ``lanes_masked_cg(S_cc, ...)`` with S_cc the XLA mixture — identical
+    formula, so agreement is to f32 roundoff (exp/sqrt evaluation and
+    reduction order differ between Mosaic and XLA); tolerance pinned by
+    tests/test_kriging.py::test_lanes_mix_cg_matches_xla_system.
+
+    Zero-padded batch columns build the identity system and stay exactly
+    zero (see the kernel docstring).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C, K = mask.shape
+
+    Cp = -(-C // LANES) * LANES
+    max_lanes = _lane_block(Cp, K)
+
+    def t(x):
+        return jnp.zeros((K, Cp), jnp.float32).at[:, :C].set(
+            x.T.astype(jnp.float32))
+
+    iat, jat, mt, bt = t(iaf), t(jaf), t(mask), t(rhs)
+    eps = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (C,))
+    ept = jnp.zeros((1, Cp), jnp.float32).at[:, :C].set(eps[None, :])
+
+    row = pl.BlockSpec((K, max_lanes), lambda i: (0, i))
+    out = pl.pallas_call(
+        functools.partial(_cg_lanes_mix_kernel, n_iters, K, mix),
+        grid=(Cp // max_lanes,),
+        in_specs=[row, row, row, row,
+                  pl.BlockSpec((1, max_lanes), lambda i: (0, i))],
+        out_specs=row,
+        out_shape=jax.ShapeDtypeStruct((K, Cp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((K * K, max_lanes), jnp.float32)],
+        interpret=interpret,
+    )(iat, jat, mt, bt, ept)
     return out[:, :C].T * mask
 
 

@@ -153,7 +153,7 @@ def cross_sigma(spec: CovarianceSpec, coords_a, coords_b, rotation_matrix, sill,
 
 
 def fit_cov_mixture(spec: CovarianceSpec, sill, nugget, h_max: float,
-                    n_grid: int = 2000):
+                    n_grid: int = 2000, target_err: float = None):
     """Nonnegative gaussian+exponential mixture fit of the covariance curve.
 
     Approximates ``covariance_norm(spec, h, sill, nugget)`` on
@@ -174,22 +174,98 @@ def fit_cov_mixture(spec: CovarianceSpec, sill, nugget, h_max: float,
     pruned.  Callers should fall back to exact evaluation when
     ``max_abs_err`` is too large (the spherical model's range kink fits
     poorly; matern/gaussian/exponential fit to <= ~1e-3 * (sill-nugget)).
+
+    ``target_err``: when given, the support is further pruned by greedy
+    backward elimination — repeatedly refit without the one atom whose
+    removal hurts least, while the max abs error stays <= target_err.
+    Every retained term costs ~0.09 ms/step-batch of device exp time at
+    the 512-chain bench shape (NOTES_ROUND5 §2c), so the fewest-term fit
+    inside the caller's accept tolerance is the fastest correct one.
     """
     from scipy.optimize import nnls
 
     h = np.linspace(0.0, float(h_max), n_grid)
     c = np.asarray(
         covariance_norm(spec, h, float(sill), float(nugget)), np.float64)
-    bg = np.unique(np.concatenate([np.logspace(-1.2, 2.2, 12), [3.0]]))
-    be = np.unique(np.concatenate([np.logspace(-0.7, 2.0, 12), [3.0]]))
+    # DYADIC decay-rate dictionaries (b = 3·2^k): the same log-density as
+    # the former logspace grids (ratio 2 vs 2.04) with the exact
+    # gaussian/exponential model rate 3.0 at k=0, fitting every model to
+    # the same error (probed 2026-08-21: matérn s=1.3 3.6e-4 vs 4.7e-4) —
+    # and the whole family then evaluates from ONE exp via repeated
+    # squaring (eval_mixture_static) instead of one exp per term, ~4x
+    # less VPU transcendental work per S_CC evaluation
+    bg = 3.0 * 2.0 ** np.arange(-6, 7)
+    be = 3.0 * 2.0 ** np.arange(-5, 6)
     A = np.concatenate([np.exp(-np.outer(h ** 2, bg)),
                         np.exp(-np.outer(h, be))], axis=1)
     a, _ = nnls(A, c, maxiter=50 * A.shape[1])
     err = float(np.abs(A @ a - c).max())
+    support = np.flatnonzero(a > 0)
+    if target_err is not None and err <= target_err:
+        while support.size > 1:
+            best = None
+            for drop in range(support.size):
+                sub = np.delete(support, drop)
+                a_sub, _ = nnls(A[:, sub], c, maxiter=50 * A.shape[1])
+                e_sub = float(np.abs(A[:, sub] @ a_sub - c).max())
+                if e_sub <= target_err and (best is None or e_sub < best[0]):
+                    best = (e_sub, sub, a_sub)
+            if best is None:
+                break
+            err, support, a_sub = best
+            a = np.zeros_like(a)
+            a[support] = a_sub
     a_g, a_e = a[: bg.size], a[bg.size:]
     gm, em = a_g > 0, a_e > 0
     return (a_g[gm].astype(np.float32), bg[gm].astype(np.float32),
             a_e[em].astype(np.float32), be[em].astype(np.float32), err)
+
+
+def eval_mixture_static(mix, h2):
+    """Evaluate the fitted mixture at squared distances ``h2`` with STATIC
+    (Python float) coefficients:
+
+        S = Σ ag·exp(-bg·h2) + Σ ae·exp(-be·√h2)
+
+    ``mix`` is SGSStatic.mix: ((ag...), (bg...), (ae...), (be...), qcoef).
+    When a family's rates form a dyadic chain b0·2^k (guaranteed by
+    fit_cov_mixture's dictionary), the family costs ONE exp plus repeated
+    squaring (E, E², E⁴, ...) instead of one exp per term — measured on
+    the v5e-1 bench device the 7-term XLA exp chain was ~0.7 ms/step-batch
+    of the SGS step (NOTES_ROUND5 §2b/§2c).  Non-dyadic rates (e.g.
+    hand-built test mixtures) fall back to the direct per-term exp.
+
+    Pure elementwise jnp — usable both in the XLA prepare stage and inside
+    the Pallas lanes kernel (ops/cg_kernel._cg_lanes_mix_kernel).
+    """
+    import math
+
+    ag, bg, ae, be = mix[0], mix[1], mix[2], mix[3]
+    out = None
+    for amps, rates, in_h in ((ag, bg, False), (ae, be, True)):
+        if not amps:
+            continue
+        x = jnp.sqrt(h2) if in_h else h2
+        b0 = min(rates)
+        ks = [math.log2(b / b0) for b in rates]
+        if all(abs(k - round(k)) < 1e-9 for k in ks):
+            pairs = sorted(zip((int(round(k)) for k in ks), amps))
+            E = jnp.exp(jnp.float32(-b0) * x)
+            s = None
+            k_cur = 0
+            for k, a in pairs:
+                while k_cur < k:
+                    E = E * E
+                    k_cur += 1
+                term = jnp.float32(a) * E
+                s = term if s is None else s + term
+        else:
+            s = None
+            for a, b in zip(amps, rates):
+                term = jnp.float32(a) * jnp.exp(jnp.float32(-b) * x)
+                s = term if s is None else s + term
+        out = s if out is None else out + s
+    return out
 
 
 # convenient partials mirroring the reference's `covmodels` registry

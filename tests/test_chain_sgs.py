@@ -557,8 +557,69 @@ class TestKNearestPacked:
                 monkeypatch.delenv("MCMC_TPU_SGS_SURGERY")
 
         l_def = run_with("")
-        l_lanes = run_with("lanesinterp")
+        # lanesinterp alone exercises the PRODUCTION TPU composition (the
+        # fused build+solve mix kernel when the mixture fit is available);
+        # +nomixcg pins the S_cc-input lanes kernel
+        l_mix = run_with("lanesinterp")
+        l_lanes = run_with("lanesinterp,nomixcg")
+        np.testing.assert_allclose(l_def, l_mix, rtol=2e-4, atol=2e-2)
         np.testing.assert_allclose(l_def, l_lanes, rtol=2e-4, atol=2e-2)
+
+    def test_halfspec_noise_is_white(self):
+        """irfft2 of halfspec_noise must be an iid standard-normal field —
+        that is the exact statement that the analytic forward transform
+        matches rfft2 of white noise (any bin mis-scaled, e.g. the naive
+        non-Hermitian edge columns losing half their variance, shows up
+        as cell variance != 1)."""
+        import jax
+        import jax.numpy as jnp
+
+        from mcmc_tpu.models.chain_sgs import halfspec_noise
+
+        NE, NS = 16, 30000
+        keys = jax.random.split(jax.random.PRNGKey(0), NS)
+
+        @jax.jit
+        @jax.vmap
+        def draw(k):
+            v = jax.random.normal(k, (NE * NE,))
+            return jnp.fft.irfft2(halfspec_noise(v, NE), s=(NE, NE))
+
+        z = np.asarray(draw(keys))                    # (NS, NE, NE)
+        var = z.var(axis=0)
+        assert abs(z.mean()) < 0.01
+        np.testing.assert_allclose(var, np.ones((NE, NE)), atol=0.05)
+        # a few spatial cross-covariances vanish
+        flat = z.reshape(NS, -1)
+        for a, b in ((0, 1), (0, NE), (3, 200), (17, 91)):
+            c = np.mean(flat[:, a] * flat[:, b])
+            assert abs(c) < 0.05, (a, b, c)
+
+    def test_gate_fwdfft_same_statistics(self, monkeypatch):
+        """The half-spectrum draw and the pre-r5 forward-FFT draw are the
+        same DISTRIBUTION (different realizations per key): acceptance and
+        post-run loss statistics must agree across a short run."""
+        p = make_synthetic_problem(H=48, W=48)
+
+        def run_with(gate):
+            monkeypatch.setenv("MCMC_TPU_SGS_SURGERY", gate)
+            try:
+                from mcmc_tpu.parallel import MultiChainSampler
+
+                c = build_sgs_chain(p)
+                sampler = MultiChainSampler(c, n_chains=16)
+                states = sampler.init(seeds=0)
+                _, tr = sampler.run_segment(states, 60)
+                return (float(np.asarray(tr["step"], np.float32).mean()),
+                        float(np.asarray(tr["loss"])[-10:].mean()))
+            finally:
+                monkeypatch.delenv("MCMC_TPU_SGS_SURGERY")
+
+        acc_new, loss_new = run_with("")
+        acc_old, loss_old = run_with("fwdfft")
+        assert abs(acc_new - acc_old) < 0.15, (acc_new, acc_old)
+        assert abs(loss_new - loss_old) < 0.35 * abs(loss_old), (
+            loss_new, loss_old)
 
     def test_gate_nomix_runs_finite(self, monkeypatch):
         """The ``nomix`` surgery gate (constant S_cc, isolates the mixture

@@ -208,6 +208,53 @@ class TestMaskedSolvers:
             jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs)))
         np.testing.assert_allclose(w, w_xla, rtol=2e-4, atol=2e-4)
 
+    def test_lanes_mix_cg_matches_xla_system(self, rng):
+        """ops/cg_kernel.lanes_mix_masked_cg (masked mixture system built
+        IN-KERNEL from packed coordinates) == lanes_masked_cg fed the
+        XLA-evaluated S_cc (identical CG iterations, f32-roundoff S_cc
+        evaluation differences) == NumPy subsystem solve on distinct
+        coordinates (PD system).  Per-chain eps vector exercises the
+        (1, B) eps row; C=5 exercises zero-system lane padding."""
+        from mcmc_tpu.ops.cg_kernel import (lanes_masked_cg,
+                                            lanes_mix_masked_cg)
+
+        C, K, SB = 5, 48, 40
+        mix = ((0.5, 0.3), (0.01, 0.002), (0.4,), (0.05,),
+               (1.0, 0.1, 1.2))
+        idx = np.stack([rng.permutation(SB * SB)[:K] for _ in range(C)])
+        ia = (idx // SB).astype(np.float32)
+        ja = (idx % SB).astype(np.float32)
+
+        def s_cc(iaf, jaf):
+            dif = iaf[:, None] - iaf[None, :]
+            djf = jaf[:, None] - jaf[None, :]
+            h2 = (mix[4][0] * djf * djf + mix[4][1] * djf * dif
+                  + mix[4][2] * dif * dif)
+            S = sum(a * np.exp(-b * h2) for a, b in zip(mix[0], mix[1]))
+            S = S + sum(a * np.exp(-b * np.sqrt(h2))
+                        for a, b in zip(mix[2], mix[3]))
+            return np.asarray(S, np.float32)
+
+        Sigma = np.stack([s_cc(ia[c], ja[c]) for c in range(C)])
+        mask = (rng.random((C, K)) < 0.8).astype(np.float32)
+        mask[:, 0] = 1.0
+        rhs = rng.normal(size=(C, K)).astype(np.float32)
+        epsv = np.linspace(1e-3, 3e-3, C).astype(np.float32)
+        w_mix = np.asarray(lanes_mix_masked_cg(
+            jnp.asarray(ia), jnp.asarray(ja), jnp.asarray(mask),
+            jnp.asarray(rhs), jnp.asarray(epsv), mix, 96, interpret=True))
+        w_ref = np.asarray(lanes_masked_cg(
+            jnp.asarray(Sigma), jnp.asarray(mask), jnp.asarray(rhs),
+            jnp.asarray(epsv), 96, interpret=True))
+        np.testing.assert_allclose(w_mix, w_ref, rtol=2e-4, atol=2e-4)
+        assert np.all(w_mix[mask == 0] == 0.0)
+        for c in range(C):
+            sel = np.where(mask[c] > 0)[0]
+            sub = Sigma[c][np.ix_(sel, sel)] + epsv[c] * np.eye(len(sel))
+            np.testing.assert_allclose(
+                w_mix[c, sel], np.linalg.solve(sub, rhs[c, sel]),
+                rtol=2e-3, atol=2e-3)
+
     def test_lanes_cg_per_chain_eps_vector(self, rng):
         """The batched step passes eps as a per-chain (C,) vector."""
         from mcmc_tpu.ops.cg_kernel import lanes_masked_cg

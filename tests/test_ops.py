@@ -38,6 +38,47 @@ class TestCovariance:
         want = ref.matern_cov_norm(h, 2.0, 0.2, s)
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("vtype,s", [("matern", 1.3), ("gaussian", None),
+                                         ("exponential", None)])
+    def test_mixture_fit_and_dyadic_eval(self, vtype, s):
+        """fit_cov_mixture fits <= 1e-3 on the dyadic dictionary, and
+        eval_mixture_static's squaring-chain evaluation equals the direct
+        per-term exp to f32 roundoff (the repeated squaring of the
+        smallest-rate exp amplifies ulps ~2x per doubling — bounded by the
+        dyadic span, 2^12)."""
+        from mcmc_tpu.ops.covariance import eval_mixture_static, fit_cov_mixture
+
+        spec = CovarianceSpec(vtype, s=s) if s else CovarianceSpec(vtype)
+        ag, bg, ae, be, err = fit_cov_mixture(spec, 1.0, 0.0, 3.43,
+                                              target_err=1e-3)
+        assert err <= 1e-3
+        mix = (tuple(float(v) for v in ag), tuple(float(v) for v in bg),
+               tuple(float(v) for v in ae), tuple(float(v) for v in be),
+               (1.0, 0.0, 1.0))
+        h2 = np.linspace(0.0, 3.43 ** 2, 257).astype(np.float32)
+        got = np.asarray(eval_mixture_static(mix, jnp.asarray(h2)))
+        want = sum(a * np.exp(-b * h2) for a, b in zip(mix[0], mix[1]))
+        want = want + sum(a * np.exp(-b * np.sqrt(h2))
+                          for a, b in zip(mix[2], mix[3]))
+        np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                                   rtol=2e-4, atol=2e-6)
+        # the fit itself tracks the true covariance curve
+        h = np.sqrt(h2)
+        c = np.asarray(covariance_norm(spec, h, 1.0, 0.0))
+        assert float(np.abs(got - c).max()) <= 1.5e-3
+
+    def test_mixture_nondyadic_fallback(self):
+        """Hand-built non-dyadic rates use the direct per-term path."""
+        from mcmc_tpu.ops.covariance import eval_mixture_static
+
+        mix = ((0.5, 0.3), (0.01, 0.0021), (0.4,), (0.05,), (1.0, 0.0, 1.0))
+        h2 = np.linspace(0.0, 9.0, 65).astype(np.float32)
+        got = np.asarray(eval_mixture_static(mix, jnp.asarray(h2)))
+        want = (0.5 * np.exp(-0.01 * h2) + 0.3 * np.exp(-0.0021 * h2)
+                + 0.4 * np.exp(-0.05 * np.sqrt(h2)))
+        np.testing.assert_allclose(got, np.asarray(want, np.float32),
+                                   rtol=1e-5, atol=1e-7)
+
     def test_matern_zero_distance_limit(self):
         got = float(covariance_norm(CovarianceSpec("matern", s=1.5), 0.0, 2.0, 0.5))
         assert got == pytest.approx(1.5, rel=1e-3)
