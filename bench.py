@@ -23,6 +23,15 @@ import time
 
 import numpy as np
 
+# Production PRNG: the counter-based XLA RngBitGenerator ("rbg") — the
+# Philox-class generator the torch reference effectively uses on GPU
+# (cuRAND).  Threefry keying alone is ~24% of the CRF step on the bench
+# device; rbg measured +8.8% CRF / +5.3% SGS aggregate throughput at
+# identical acceptance (NOTES_ROUND5 §3b).  Opt out by pre-setting the
+# env to "" (utils/rng.py honors the impl per typed key — no global jax
+# config is touched, and tests/CI keep the threefry default).
+os.environ.setdefault("MCMC_TPU_PRNG_IMPL", "rbg")
+
 GRID = 512
 # 768 chains = 2 chunked launches of 384 (the fused kernel's single-launch
 # compile ceiling; sampler.scan_chunked keeps the batch chunked across the
@@ -509,6 +518,7 @@ def main():
         "metric": f"chain_iters_per_sec_{N_CHAINS}chains_{GRID}x{GRID}",
         "value": round(crf["rate"], 1),
         "unit": "chain-iterations/sec",
+        "prng_impl": os.environ.get("MCMC_TPU_PRNG_IMPL") or "threefry",
         # headline ratio vs the PINNED single-core twin x physical cores —
         # round-comparable by construction (the fresh twin only drift-checks)
         "vs_baseline": round(crf["rate"] / (pin_crf * cores), 2),

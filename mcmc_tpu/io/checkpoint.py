@@ -101,7 +101,12 @@ def _arrays_to_state(d: dict, cls_name: str = "ChainState"):
             "cannot be reconstructed without the fitted transform. Restart "
             "the run, or rebuild the state from the checkpointed bed plane "
             "via MultiChainSampler.init(initial_beds=bed + trend).")
-    key = jax.random.wrap_key_data(jnp.asarray(d["key_data"]))
+    # impl-aware wrap (utils.rng): a checkpoint written under
+    # MCMC_TPU_PRNG_IMPL=rbg has (..., 4) key data and must be restored
+    # under the same env (shape mismatch fails loudly here)
+    from ..utils.rng import wrap_key_data
+
+    key = wrap_key_data(jnp.asarray(d["key_data"]))
     kwargs = {k: jnp.asarray(v) for k, v in d.items() if k != "key_data"}
     return cls(key=key, **kwargs)
 

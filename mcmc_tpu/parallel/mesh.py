@@ -53,7 +53,9 @@ def _put(x, sharding: NamedSharding):
         # trailing key-data dim replicated) and re-wrap
         data = _put(jax.random.key_data(x),
                     NamedSharding(sharding.mesh, P(*sharding.spec, None)))
-        return jax.random.wrap_key_data(data)
+        # re-wrap with the ORIGINAL key's impl (a bare wrap would silently
+        # re-type e.g. rbg keys as the default threefry)
+        return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
     xnp = np.asarray(x)
     return jax.make_array_from_callback(xnp.shape, sharding,
                                         lambda idx: xnp[idx])

@@ -33,26 +33,36 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def hbm_probe(mib=1024, passes=6):
+def hbm_probe(mib=1024, passes=6, inner=50):
     import jax
     import jax.numpy as jnp
 
     n = mib * (1 << 20) // 4
 
     @jax.jit
-    def saxpy(x):
-        return x * jnp.float32(1.000001) + jnp.float32(1.0)
+    def saxpy_chain(x):
+        # `inner` dependent passes inside ONE dispatch: the tunneled
+        # link's per-dispatch + sync overhead is tens of ms (a single
+        # 2 GB saxpy measured 77 GB/s while the in-scan full-state copy
+        # of the nokernel gate sustains ~600 GB/s), so bandwidth is only
+        # honest when amortized over many passes per dispatch
+        return jax.lax.fori_loop(
+            0, inner,
+            lambda i, v: v * jnp.float32(1.000001) + jnp.float32(1.0), x)
+
+    first = jax.jit(lambda x: x[0])  # eager indexing through the tunnel
+    # costs seconds per op — sync via a jitted scalar extract instead
 
     x = jnp.zeros((n,), jnp.float32)
-    x = saxpy(x)
-    _ = float(x[0])  # sync through the tunnel
+    x = saxpy_chain(x)
+    _ = float(first(x))  # sync through the tunnel
     rates = []
     for _ in range(passes):
         t0 = time.time()
-        x = saxpy(x)
-        _ = float(x[0])
+        x = saxpy_chain(x)
+        _ = float(first(x))
         dt = time.time() - t0
-        rates.append(2 * n * 4 / dt)
+        rates.append(inner * 2 * n * 4 / dt)
     best = max(rates)
     print(f"[hbm] streaming saxpy over {mib} MiB: best "
           f"{best / 1e9:.1f} GB/s (passes: "
