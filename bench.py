@@ -149,6 +149,21 @@ def _loss_diagnostics(loss_trace, dt):
     convergence statistic BASELINE.md demands next to raw throughput
     (reference analog: the eyeball chain comparison in
     visualization.ipynb).
+
+    READ rhat_loss WITH CARE: for this sampler class it does NOT tend to
+    1.  Probed on the bench problem (2026-08-21, /tmp/r5_rhat_probe.log):
+    rhat RISES with burn (1.84 at 8k iters -> 2.79 at 96k) while ESS
+    falls — independently-seeded chains equilibrate into DISTINCT loss
+    plateaus (the bed posterior is massively multimodal; block-MH never
+    jumps basins), so within-chain variance shrinks while between-chain
+    dispersion persists.  The reference behaves identically, which is
+    why its convergence practice is loss decay + posterior summaries
+    (SURVEY §5.5), not R-hat.  The meaningful cross-chain agreement
+    number is therefore also emitted: ``loss_rel_dispersion`` =
+    std(chain mean loss) / mean — chains agree on the loss scale to
+    within ~8% at the bench config.  Distribution-level validation
+    (baseline-gap closure, posterior RMSE, variogram band) is asserted
+    every round by examples/06 (tests/test_convergence_smoke.py).
     """
     import jax
     from mcmc_tpu.parallel import diagnostics as diag
@@ -163,7 +178,10 @@ def _loss_diagnostics(loss_trace, dt):
         rhat = float(np.asarray(diag.rank_normalized_rhat(loss_trace)))
     r1, r2 = e1 / (dt / 2.0), e2 / (dt / 2.0)
     spread = abs(r1 - r2) / max((r1 + r2) / 2.0, 1e-9)
-    return dict(ess=ess, ess_rate=ess / dt, ess_spread=spread, rhat=rhat)
+    cm = loss_trace.mean(axis=1)
+    disp = float(cm.std() / max(abs(cm.mean()), 1e-9))
+    return dict(ess=ess, ess_rate=ess / dt, ess_spread=spread, rhat=rhat,
+                dispersion=disp)
 
 
 def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
@@ -240,7 +258,8 @@ def measure_tpu(chain, n_chains=N_CHAINS, segment=500, min_seconds=8.0,
         raise RuntimeError("non-finite loss in benchmark run")
     return dict(rate=rate, ess_rate=d["ess_rate"], acc=float(np.mean(accs)),
                 ess=d["ess"], ess_spread=d["ess_spread"],
-                ess_spread_ok=spread_ok, rhat=d["rhat"], n_iters=done)
+                ess_spread_ok=spread_ok, rhat=d["rhat"],
+                dispersion=d["dispersion"], n_iters=done)
 
 
 def make_sgs_chain(p):
@@ -535,6 +554,7 @@ def main():
         "ess_spread": round(crf["ess_spread"], 3),
         "ess_spread_ok": crf["ess_spread_ok"],
         "rhat_loss": round(crf["rhat"], 4),
+        "loss_rel_dispersion": round(crf["dispersion"], 4),
         "acceptance": round(crf["acc"], 3),
         # ESS/sec-optimal CRF operating point (BASELINE.md north-star)
         "ess_optimal_n_chains": N_CHAINS_ESS,
@@ -567,6 +587,7 @@ def main():
         "sgs_ess_spread": round(sgs["ess_spread"], 3),
         "sgs_ess_spread_ok": sgs["ess_spread_ok"],
         "sgs_rhat_loss": round(sgs["rhat"], 4),
+        "sgs_loss_rel_dispersion": round(sgs["dispersion"], 4),
         "sgs_acceptance": round(sgs["acc"], 3),
         "sgs_n_chains": N_CHAINS_SGS,
         # SGS ESS-optimal operating point from the chain-count sweep

@@ -79,15 +79,20 @@ class TestLossDiagnostics:
         assert d["ess"] > 0
         assert abs(d["ess_rate"] - d["ess"] / 2.0) < 1e-6
         assert d["ess_spread"] < 0.25
+        assert d["dispersion"] < 10.0  # zero-mean AR(1): ratio is noisy
+        # but finite and well-defined
 
     def test_unconverged_chains_flagged_by_rhat(self):
         import bench
 
         rng = np.random.default_rng(1)
-        x = rng.normal(size=(8, 2000)).astype(np.float32)
+        x = rng.normal(size=(8, 2000)).astype(np.float32) + 20.0
         x[:4] += 5.0                      # two chain populations
         d = bench._loss_diagnostics(x, dt=1.0)
         assert d["rhat"] > 1.2
+        # between-chain dispersion sees the two populations: std of chain
+        # means ~2.5 over mean ~22.5
+        assert 0.08 < d["dispersion"] < 0.15
 
     def test_sweep_constant_contains_headline(self):
         import bench
