@@ -176,6 +176,8 @@ def _loss_diagnostics(loss_trace, dt):
         e1 = float(np.asarray(diag.ess(loss_trace[:, :h])))
         e2 = float(np.asarray(diag.ess(loss_trace[:, h:2 * h])))
         rhat = float(np.asarray(diag.rank_normalized_rhat(loss_trace)))
+    if not np.isfinite(rhat):
+        rhat = -1.0  # sentinel: not computable (keeps the JSON line valid)
     r1, r2 = e1 / (dt / 2.0), e2 / (dt / 2.0)
     spread = abs(r1 - r2) / max((r1 + r2) / 2.0, 1e-9)
     cm = loss_trace.mean(axis=1)

@@ -128,7 +128,14 @@ def _rank_normalize(x):
                      in_axes=(0, 0))(
         srt.reshape(-1, S), flat.reshape(-1, S)).reshape(flat.shape)
     rank = 0.5 * (left + right + 1)                # average rank, 1-based
-    z = ndtri((rank - 0.375) / (S + 0.25))
+    u = (rank - 0.375) / (S + 0.25)
+    # f32 guard: for S >~ 1e7 pooled samples the TOP rank's u rounds to
+    # exactly 1.0 (1 - 0.625/S is within half an ulp of 1), ndtri returns
+    # +inf and every downstream R-hat goes NaN (observed at 1536 chains x
+    # 8000 samples, 2026-08-21) — clamp inside the open interval
+    u = jnp.clip(u, jnp.float32(1e-10),
+                 jnp.float32(1.0) - jnp.float32(1.2e-7))
+    z = ndtri(u)
     return z.reshape(shape)
 
 

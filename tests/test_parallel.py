@@ -171,6 +171,18 @@ class TestRankNormalizedDiagnostics:
         assert ess_bulk(x).shape == (3,)
         assert ess_tail(x).shape == (3,)
 
+    def test_large_pooled_sample_stays_finite(self, rng):
+        """Regression (2026-08-21): with >~1e7 pooled samples the top
+        rank's Blom fraction rounds to 1.0 in f32, ndtri(1.0) = +inf and
+        R-hat came back NaN (observed live at 1536 chains x 8000
+        samples).  The clamp keeps the statistic finite and accurate."""
+        from mcmc_tpu.parallel import rank_normalized_rhat
+
+        x = jnp.asarray(rng.normal(size=(2000, 6000)).astype(np.float32))
+        r = float(rank_normalized_rhat(x))
+        assert np.isfinite(r)
+        assert r == pytest.approx(1.0, abs=0.02)
+
     def test_real_chain_traces_finite(self):
         """Smoke on a genuine MH loss trace (constant runs from rejections
         = the tie-heavy case the average-rank transform must handle)."""
