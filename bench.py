@@ -503,10 +503,17 @@ def main():
     # soak at segment 2000 sustains 324k it/s, 2026-08-17)
     crf = measure_tpu(chain, label="TPU CRF", segment=2000,
                       min_seconds=8.0, max_iters=12000, burn_iters=8000)
-    # ESS-optimal operating point (same problem, 4x384 chunked launches)
-    ess_opt = measure_tpu(
+    # second CRF operating point (4x384 chunked launches); the ess_optimal_*
+    # fields report whichever measured point wins on ESS/s — at the r5
+    # composition that is the 768-chain headline itself (768: 191.5,
+    # 1536: 140, 384: 117.6 ESS/s — /tmp/r5_crf_ess384.log; the r3-era
+    # "1536 is 2.6x better" pin did not survive regression-grade spreads)
+    ess_1536 = measure_tpu(
         chain, n_chains=N_CHAINS_ESS, label="TPU CRF ess-opt", segment=2000,
         min_seconds=8.0, max_iters=12000, burn_iters=8000)
+    crf_points = {N_CHAINS: crf, N_CHAINS_ESS: ess_1536}
+    crf_opt_nc = max(crf_points, key=lambda nc: crf_points[nc]["ess_rate"])
+    ess_opt = crf_points[crf_opt_nc]
     # on-device fused-vs-XLA numerical-equivalence attestation
     fused_parity, fused_flip_rate = check_fused_parity(chain)
 
@@ -560,13 +567,18 @@ def main():
         "rhat_loss": round(crf["rhat"], 4),
         "loss_rel_dispersion": round(crf["dispersion"], 4),
         "acceptance": round(crf["acc"], 3),
-        # ESS/sec-optimal CRF operating point (BASELINE.md north-star)
-        "ess_optimal_n_chains": N_CHAINS_ESS,
+        # ESS/sec-optimal CRF operating point (BASELINE.md north-star),
+        # selected by measurement between the two CRF points
+        "ess_optimal_n_chains": crf_opt_nc,
         "ess_optimal_chain_iters_per_sec": round(ess_opt["rate"], 1),
         "ess_optimal_ess_loss_per_sec": round(ess_opt["ess_rate"], 2),
         "ess_optimal_ess_spread": round(ess_opt["ess_spread"], 3),
         "ess_optimal_ess_spread_ok": ess_opt["ess_spread_ok"],
         "ess_optimal_acceptance": round(ess_opt["acc"], 3),
+        "crf_sweep_chains": sorted(crf_points),
+        "crf_sweep_ess_loss_per_sec": [
+            round(crf_points[nc]["ess_rate"], 2)
+            for nc in sorted(crf_points)],
         # fused Pallas kernel vs vmapped XLA step on hardware: single-step
         # accepts identical + ulp-scale numeric deltas + borderline-MH flip
         # rate < 0.1% over a long run (see check_fused_parity docstring)
