@@ -163,12 +163,16 @@ def _lane_block(Cp: int, K: int) -> int:
     """Lane-block size: the whole padded batch when it fits one program's
     VMEM budget, else the LARGEST LANES-multiple divisor of Cp under it —
     never straight to a 128-lane block, which would multiply sequential
-    grid programs each paying the full loop latency.  Live VMEM per
-    program is ~(K²+6K)·B·4 B for the S_cc-input kernel (A + b/out refs +
-    x/r/p/Ap iterates; 5.3 MB at K=48, B=512) and slightly more with the
-    in-kernel system build (the A scratch replaces the A input, plus five
-    (K, B) tiles)."""
-    fit = max(LANES, (32 << 20) // ((K * K + 6 * K) * 4) // LANES * LANES)
+    grid programs each paying the full loop latency.
+
+    Live VMEM per program is ~(K²+12K)·B·4 B (the A matrix/scratch, the
+    five (K, B) in/out tiles, the x/r/p/Ap iterates, and elementwise
+    temporaries of the in-kernel system build).  The budget is 14 MB:
+    the TPU compiler enforces a 16 MB SCOPED-VMEM stack limit per
+    kernel, and a 2048-lane block at K=48 (19.4 MB) was observed to
+    fail compilation against exactly that limit (2026-08-21) — 1024
+    lanes (11.8 MB) compiles and runs."""
+    fit = max(LANES, (14 << 20) // ((K * K + 12 * K) * 4) // LANES * LANES)
     for nblk in range(Cp // LANES, 0, -1):
         blk = nblk * LANES
         if blk <= fit and Cp % blk == 0:

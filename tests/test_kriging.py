@@ -255,6 +255,20 @@ class TestMaskedSolvers:
                 w_mix[c, sel], np.linalg.solve(sub, rhs[c, sel]),
                 rtol=2e-3, atol=2e-3)
 
+    def test_lane_block_respects_scoped_vmem(self):
+        """Regression (2026-08-21): a 2048-lane block at K=48 needs
+        19.4 MB of scoped VMEM and the TPU compiler rejects it against
+        its 16 MB stack limit — the block chooser must grid into 1024s,
+        and must still hand small batches a single whole-batch block."""
+        from mcmc_tpu.ops.cg_kernel import _lane_block
+
+        assert _lane_block(512, 48) == 512
+        assert _lane_block(1024, 48) == 1024
+        assert _lane_block(2048, 48) == 1024
+        assert _lane_block(4096, 48) == 1024
+        # non-power-of-two padded batches still get a dividing block
+        assert 2176 % _lane_block(2176, 48) == 0
+
     def test_lanes_cg_per_chain_eps_vector(self, rng):
         """The batched step passes eps as a per-chain (C,) vector."""
         from mcmc_tpu.ops.cg_kernel import lanes_masked_cg
